@@ -1,0 +1,251 @@
+"""Event voxelization / accumulation — the Pallas "histogram as matmul" kernel.
+
+The reference builds event frames as per-window 2D histograms scaled by the
+contrast thresholds:
+
+    frame = pos_th * hist2d(x_pos, y_pos) - neg_th * hist2d(x_neg, y_neg)
+
+(`/root/reference/utils/to_events.py:400-412`,
+ `/root/reference/utils/ev_utils.py:113-161` ``form_eventframe``), with
+numpy.histogram2d semantics: bins=(W,H), range [[0,W],[0,H]] — i.e. bin index
+floor(x), coordinates exactly == the right edge land in the last bin, anything
+outside the range is dropped, and the result is transposed to (H, W).
+
+TPU-native design
+-----------------
+A scatter-add is hostile to the TPU's vector/matrix units, but a histogram is
+also a sum of outer products:  H = Σ_e v_e · onehot(y_e) ⊗ onehot(x_e)
+                                 = Yᵀ X,
+with Y (E, H) holding v_e at row e, column y_e, and X (E, W) the x one-hots.
+That turns the whole voxelization into one MXU matmul per event chunk — no
+atomics, no sort, perfectly shaped for the 128×128 systolic array.  One-hot
+entries are ±1 (exactly representable in bf16); thresholds are applied once
+at the end, so results match numpy bit-for-bit up to f32 accumulation.
+
+The Pallas kernel tiles events into chunks, builds the one-hots in VMEM via
+broadcasted iota compares, and accumulates the (H, W) frame across grid
+steps in the output block.  A pure-XLA reference path (segment_sum) backs
+CPU tests and serves as the fallback on non-TPU platforms.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend is unavailable on CPU-only builds
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+
+def _bin_events(
+    x: jnp.ndarray, y: jnp.ndarray, pol: jnp.ndarray, H: int, W: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """np.histogram2d binning semantics -> (xi, yi, sign) int32/int32/f32.
+
+    sign is +1 for positive polarity (pol > 0), -1 for negative (pol < 0),
+    and 0 for ignored events (pol == 0, out-of-range, or padding).  Callers
+    using a 0/1 polarity convention must map to ±1 first (as the reference's
+    ``form_eventframe(all_events=True)`` does with p==0 meaning negative).
+    """
+    xf = x.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    xi = jnp.where(xf >= W, W - 1, jnp.floor(xf)).astype(jnp.int32)
+    yi = jnp.where(yf >= H, H - 1, jnp.floor(yf)).astype(jnp.int32)
+    valid = (xf >= 0) & (xf <= W) & (yf >= 0) & (yf <= H)
+    sign = jnp.where(pol > 0, 1.0, jnp.where(pol < 0, -1.0, 0.0)).astype(jnp.float32)
+    sign = jnp.where(valid, sign, 0.0)
+    xi = jnp.clip(xi, 0, W - 1)
+    yi = jnp.clip(yi, 0, H - 1)
+    return xi, yi, sign
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+_SUBCHUNKS = 8  # sublane tiling: each grid step consumes 8 rows of E events
+
+
+def _hist_kernel(yi_ref, xi_ref, sign_ref, out_ref):
+    """One grid step: accumulate 8 sub-chunks of events into the (H, W) frame.
+
+    The output block has a constant index_map, so it stays resident in VMEM
+    across grid steps and serves as the accumulator.
+    """
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    E = yi_ref.shape[1]
+    H, W = out_ref.shape
+    acc = out_ref[:]
+    for r in range(_SUBCHUNKS):
+        yi = yi_ref[r, :]  # (E,)
+        xi = xi_ref[r, :]
+        sign = sign_ref[r, :]
+        # Y one-hot (H, E) carrying the signed value; X one-hot (E, W).
+        row_ids = lax.broadcasted_iota(jnp.int32, (H, E), 0)
+        col_ids = lax.broadcasted_iota(jnp.int32, (E, W), 1)
+        yoh = jnp.where(row_ids == yi[None, :], sign[None, :], 0.0).astype(jnp.bfloat16)
+        xoh = (col_ids == xi[:, None]).astype(jnp.bfloat16)
+        acc = acc + jnp.dot(yoh, xoh, preferred_element_type=jnp.float32)
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "chunk", "interpret"))
+def _hist_pallas(yi, xi, sign, *, H: int, W: int, chunk: int, interpret: bool):
+    n = yi.shape[0]
+    step = chunk * _SUBCHUNKS
+    n_pad = max(((n + step - 1) // step) * step, step)
+    pad = n_pad - n
+    yi = jnp.pad(yi, (0, pad))
+    xi = jnp.pad(xi, (0, pad))
+    sign = jnp.pad(sign, (0, pad))  # padded events have sign 0 -> no-op
+    num_steps = n_pad // step
+    yi = yi.reshape(num_steps * _SUBCHUNKS, chunk)
+    xi = xi.reshape(num_steps * _SUBCHUNKS, chunk)
+    sign = sign.reshape(num_steps * _SUBCHUNKS, chunk)
+
+    grid = (num_steps,)
+    ev_spec = pl.BlockSpec((_SUBCHUNKS, chunk), lambda i: (i, 0))
+    out_spec = pl.BlockSpec((H, W), lambda i: (0, 0))
+    return pl.pallas_call(
+        _hist_kernel,
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
+        grid=grid,
+        in_specs=[ev_spec, ev_spec, ev_spec],
+        out_specs=out_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * H * W * n_pad,
+            bytes_accessed=3 * n_pad * 4 + H * W * 4,
+            transcendentals=0,
+        ),
+    )(yi, xi, sign)
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def event_histogram(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    pol: jnp.ndarray,
+    H: int,
+    W: int,
+    pos_thresh: float = 0.2,
+    neg_thresh: float = 0.2,
+    chunk: int = 512,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Voxelize one window of events into an (H, W) float32 event frame.
+
+    Exactly reproduces the reference's
+    ``pos_th*hist2d(pos).T - neg_th*hist2d(neg).T``
+    (to_events.py:409, ev_utils.py:139) on the TPU MXU.
+
+    When pos_thresh != neg_thresh the signed single-pass trick no longer
+    factorizes; we then run two accumulation passes with masked signs.
+    """
+    if interpret is None:
+        interpret = _default_interpret()
+    xi, yi, sign = _bin_events(x, y, pol, H, W)
+    if pos_thresh == neg_thresh:
+        counts = _hist_pallas(yi, xi, sign, H=H, W=W, chunk=chunk, interpret=interpret)
+        return pos_thresh * counts
+    pos_counts = _hist_pallas(
+        yi, xi, jnp.maximum(sign, 0.0), H=H, W=W, chunk=chunk, interpret=interpret
+    )
+    neg_counts = _hist_pallas(
+        yi, xi, jnp.maximum(-sign, 0.0), H=H, W=W, chunk=chunk, interpret=interpret
+    )
+    return pos_thresh * pos_counts - neg_thresh * neg_counts
+
+
+def event_histogram_reference(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    pol: jnp.ndarray,
+    H: int,
+    W: int,
+    pos_thresh: float = 0.2,
+    neg_thresh: float = 0.2,
+) -> jnp.ndarray:
+    """Pure-XLA oracle with identical semantics (scatter-add / segment_sum)."""
+    xi, yi, sign = _bin_events(x, y, pol, H, W)
+    pid = yi * W + xi
+    vals = jnp.where(sign > 0, pos_thresh, jnp.where(sign < 0, -neg_thresh, 0.0))
+    flat = jax.ops.segment_sum(vals, pid, num_segments=H * W)
+    return flat.reshape(H, W)
+
+
+def event_frames_from_windows(
+    t: jnp.ndarray,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    pol: jnp.ndarray,
+    window_starts: jnp.ndarray,
+    window_ends: jnp.ndarray,
+    H: int,
+    W: int,
+    pos_thresh: float = 0.2,
+    neg_thresh: float = 0.2,
+    chunk: int = 512,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Voxelize many time windows of one event stream -> (T, H, W) frames.
+
+    Reproduces the reference's per-inter-frame-window slicing loop
+    (to_events.py:398-412: ``ts >= t_start & ts < t_end``) as a batched,
+    jit-friendly computation: each window masks the shared event arrays by
+    time (events outside the window contribute sign 0) and runs the Pallas
+    histogram.  Windows are mapped with lax.map to bound memory.
+    """
+    if interpret is None:
+        interpret = _default_interpret()
+
+    def one_window(se):
+        t0, t1 = se
+        in_win = (t >= t0) & (t < t1)
+        p = jnp.where(in_win, pol, 0)
+        return event_histogram(
+            x, y, p, H, W, pos_thresh, neg_thresh, chunk=chunk, interpret=interpret
+        )
+
+    return lax.map(one_window, (window_starts, window_ends))
+
+
+def difflog_events(
+    im: jnp.ndarray,
+    prev_im: jnp.ndarray,
+    pos_thresh: float = 0.2,
+    neg_thresh: float = 0.2,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Difflog event approximation between two intensity frames.
+
+    Mirrors run_competition.py:603-635 ``compute_events`` (eps 1e-5) and
+    to_events.py:419-439: difflog = log(im+eps)-log(prev+eps), quantized by
+    the thresholds (floor-division toward -inf, matching ``//``), and zeroed
+    entirely when ``max |difflog| < max(pos_th, neg_th)``.
+    """
+    difflog = jnp.log(im + eps) - jnp.log(prev_im + eps)
+    pos = jnp.floor(difflog / pos_thresh) * pos_thresh
+    neg = jnp.floor(difflog / -neg_thresh) * -neg_thresh
+    ev = jnp.where(difflog > 0.0, pos, jnp.where(difflog < 0.0, neg, 0.0))
+    any_event = jnp.max(jnp.abs(difflog)) >= max(pos_thresh, neg_thresh)
+    return jnp.where(any_event, ev, jnp.zeros_like(ev))
