@@ -1,0 +1,82 @@
+"""Benchmark: event-window throughput (voxelize + ViTLSTM forward) on one chip.
+
+North-star metric (BASELINE.json): >= 10,000 event-windows/sec/chip for
+Pallas voxelization + ViTLSTM forward; the reference's equivalent path runs
+at ~13.7 windows/s (73 ms joint forward on the onboard CPU, README.md:416).
+
+Pipeline measured per window:
+  5k raw events -> Pallas histogram (260x346) -> 97th-percentile scale ->
+  bilinear resize to 60x90 -> ViTLSTM forward (encoder batched over the
+  window axis; the LSTM scans windows as its time axis, matching the
+  model's unbatched-sequence semantics).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is the ratio to the 10k windows/s/chip target.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from evfly_tpu.models.vitfly import LSTMNetVIT
+    from evfly_tpu.ops.imageops import interpolate_bilinear
+    from evfly_tpu.ops.voxelizer import event_histogram
+
+    H, W = 260, 346
+    N_EVENTS = 5000          # events per window
+    N_WINDOWS = 256          # windows per batched step
+
+    model = LSTMNetVIT()
+    params = model.init(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    ex = jnp.asarray(rng.uniform(0, W, (N_WINDOWS, N_EVENTS)), jnp.float32)
+    ey = jnp.asarray(rng.uniform(0, H, (N_WINDOWS, N_EVENTS)), jnp.float32)
+    ep = jnp.asarray(rng.choice([-1, 1], (N_WINDOWS, N_EVENTS)), jnp.int32)
+    desvel = jnp.full((N_WINDOWS, 1), 4.0, jnp.float32)
+
+    @jax.jit
+    def step(params, ex, ey, ep, desvel):
+        frames = jax.vmap(lambda x, y, p: event_histogram(x, y, p, H, W))(ex, ey, ep)
+        q = jnp.quantile(jnp.abs(frames).reshape(N_WINDOWS, -1), 0.97, axis=1)
+        q = jnp.where(q > 0, q, 1.0)
+        frames = jnp.clip(frames / q[:, None, None], -1.0, 1.0)
+        small = interpolate_bilinear(frames[:, None], (60, 90))
+        vel, _h, _u = model.apply(params, [small, desvel, None, None])
+        return vel
+
+    # compile + warmup
+    out = step(params, ex, ey, ep, desvel)
+    jax.block_until_ready(out)
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = step(params, ex, ey, ep, desvel)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    windows_per_sec = N_WINDOWS * n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "event_windows_per_sec_per_chip",
+                "value": round(windows_per_sec, 1),
+                "unit": "windows/s",
+                "vs_baseline": round(windows_per_sec / 10000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

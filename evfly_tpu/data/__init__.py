@@ -1,0 +1,4 @@
+from .dataloading import TrajectorySplit, dataloader, write_h5_dataset
+from .augment import augment_chunk
+
+__all__ = ["dataloader", "TrajectorySplit", "write_h5_dataset", "augment_chunk"]

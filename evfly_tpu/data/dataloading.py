@@ -1,0 +1,295 @@
+"""Trajectory dataset loading with reference-dataloader parity.
+
+Reproduces the reference ``dataloader()`` (learner/dataloading.py:30-560) for
+the h5 path (the primary training input format, SURVEY.md §2.2) and the
+trajectory-folder path where feasible without cv2-specific assets:
+
+* h5 schema: one group per trajectory with datasets ``data`` (metadata),
+  ``ims``, ``depths``, ``trajlength``, ``desvel``, ``evs``, ``dirs``,
+  ``dirs_ids`` (utils/to_h5.py:16-47).
+* seeded shuffle with *python* ``random.shuffle`` — seed >= 0 fixed seed,
+  -1 time seed, -2 no shuffling (dataloading.py:131-136).
+* NaN-metadata and collision-trajectory filtering (dataloading.py:233-245).
+* bilinear (align_corners=False) resize to ``resize_input``
+  (dataloading.py:398-416).
+* depth rescale/clamp; event-frame rescaling by fixed factor or per-frame
+  97th-percentile of |evs| with ±1 clamp (dataloading.py:501-533); the
+  percentile uses linear interpolation (torch.quantile default == numpy).
+* train/val split in 'train-val' or 'val-train' order over the pre-shuffled
+  trajectory list (dataloading.py:440-461).
+* ``train_val_dirs`` restore for split persistence (dataloading.py:82-104).
+
+Outputs are numpy float32 (host); device placement and sharding happen in
+the Learner's jitted step, keeping the loader an async host-side producer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import random
+import time
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+
+def _resize_bilinear_np(frames: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """Batched torch-style bilinear resize (align_corners=False), numpy host-side."""
+    from ..ops.imageops import interpolate_bilinear
+    import jax.numpy as jnp
+
+    out = interpolate_bilinear(jnp.asarray(frames, jnp.float32), size, align_corners=False)
+    return np.asarray(out)
+
+
+@dataclass
+class TrajectorySplit:
+    """One split (train or val) in the reference's return layout."""
+
+    meta: np.ndarray              # (ΣT, 21) float32
+    ims: np.ndarray               # (ΣT, H, W) float32
+    depths: Optional[np.ndarray]  # (ΣT, H, W) float32
+    trajlength: np.ndarray        # (num_trajs,) int
+    desvel: np.ndarray            # (ΣT,) float32
+    evs: Optional[List[np.ndarray]]  # per-traj (T_i - 1, H, W) float32
+    dirs: List[str]
+    dirs_ids: List[int]
+
+    @property
+    def velcmd(self) -> np.ndarray:
+        """Velocity commands = meta columns 13:16 (learner.py:564)."""
+        return self.meta[:, 13:16]
+
+    @property
+    def traj_starts(self) -> np.ndarray:
+        return np.cumsum(self.trajlength) - self.trajlength
+
+    def __len__(self):
+        return len(self.trajlength)
+
+
+def write_h5_dataset(
+    h5_path: str,
+    trajectories: Sequence[dict],
+) -> None:
+    """Write trajectories to the reference h5 schema (utils/to_h5.py:16-47).
+
+    Each trajectory dict: {'name', 'data' (T,21), 'ims' (T,H,W),
+    'depths' (T,H,W), 'desvel' (T,), 'evs' (T-1,H,W) optional}.
+    """
+    if os.path.exists(h5_path):
+        os.remove(h5_path)
+    with h5py.File(h5_path, "w") as f:
+        for traj in trajectories:
+            g = f.create_group(traj["name"])
+            g.create_dataset("data", data=np.asarray(traj["data"], np.float32))
+            g.create_dataset("ims", data=np.asarray(traj["ims"], np.float32))
+            g.create_dataset("depths", data=np.asarray(traj["depths"], np.float32))
+            g.create_dataset("trajlength", data=len(traj["ims"]))
+            g.create_dataset("desvel", data=np.asarray(traj["desvel"], np.float32))
+            if "evs" in traj and traj["evs"] is not None:
+                g.create_dataset("evs", data=np.asarray(traj["evs"], np.float32))
+            g.create_dataset("dirs", data=traj["name"])
+            g.create_dataset("dirs_ids", data=traj.get("dirs_ids", 0))
+
+
+def dataloader(
+    data_dir: str,
+    val_split: float = 0.0,
+    short: int = 0,
+    seed: Optional[int] = None,
+    train_val_dirs=None,
+    do_transform: bool = False,
+    events: str = "",
+    keep_collisions: bool = False,
+    logger: Optional[Callable[[str], None]] = None,
+    use_h5: bool = True,
+    resize_input: Optional[List[int]] = None,
+    split_method: str = "train-val",
+    rescale_depth: float = 0.0,
+    rescale_evs: float = 0.0,
+    evs_min_cutoff: Optional[float] = None,
+) -> Tuple[TrajectorySplit, TrajectorySplit, bool]:
+    """Load an h5 trajectory dataset -> (train, val, is_png_or_h5)."""
+    if logger is None:
+        logger = lambda msg: print(msg)
+    if h5py is None:
+        raise ImportError("h5py required for dataset loading")
+
+    if events != "" and "." not in events:
+        events = events + ("_tf.npy" if do_transform else ".npy")
+
+    h5_filename = data_dir + ("_tf" if (do_transform and "_tf" not in data_dir) else "") + ".h5"
+    if not (os.path.exists(h5_filename) and use_h5):
+        raise FileNotFoundError(
+            f"h5 dataset not found at {h5_filename} (folder-format loading requires "
+            "the original png assets; package datasets with write_h5_dataset)"
+        )
+    logger(f"[DATALOADER] Found {h5_filename}, loading dataset")
+    f = h5py.File(h5_filename, "r")
+
+    dataset_name = os.path.basename(data_dir)
+
+    # ---- choose trajectory folders (order + shuffle parity) ----
+    tvd_invalid = True
+    if train_val_dirs is not None:
+        for part in (train_val_dirs[0], train_val_dirs[1]):
+            for folder in part:
+                if dataset_name in str(folder):
+                    tvd_invalid = False
+                    break
+    logger(f"[DATALOADER] train_val_dirs_is_invalid={tvd_invalid}")
+
+    if train_val_dirs is not None and not tvd_invalid:
+        tvd = [list(el) if isinstance(el, np.ndarray) else list(el) for el in train_val_dirs]
+        new = [[], [], [], []]
+        for i in range(len(tvd[0])):
+            if dataset_name in str(tvd[0][i]):
+                new[0].append(tvd[0][i])
+                new[2].append(tvd[2][i])
+        for i in range(len(tvd[1])):
+            if dataset_name in str(tvd[1][i]):
+                new[1].append(tvd[1][i])
+                new[3].append(tvd[3][i])
+        traj_folders = list(new[0]) + list(new[1])
+        val_split = len(new[1]) / len(traj_folders)
+        traj_folders_ids = list(np.hstack((new[2], new[3])).astype(int)) if traj_folders else []
+    else:
+        traj_folders = [os.path.join(data_dir, k) for k in f.keys()]
+        traj_folders_ids = list(range(len(traj_folders)))
+        if seed is not None and seed > -2:
+            s = int(time.time() * 1e3) if seed == -1 else seed
+            random.seed(s)
+            random.shuffle(traj_folders)
+            random.seed(s)
+            random.shuffle(traj_folders_ids)
+
+    if short > 0:
+        traj_folders = traj_folders[:short]
+        traj_folders_ids = traj_folders_ids[:short]
+
+    # ---- per-trajectory loading with filtering ----
+    load_evs = "frames" in events
+    metas, ims_list, depths_list, evs_list = [], [], [], []
+    desired_vels: List[np.ndarray] = []
+    kept_folders, kept_ids = [], []
+    num_collision_trajs = 0
+
+    for traj_i, folder in enumerate(traj_folders):
+        gname = folder.rstrip("/").split("/")[-1]
+        g = f[gname]
+        meta = np.asarray(g["data"][()], np.float64)
+        if np.isnan(meta).any():
+            logger(f"[DATALOADER] NaN in {gname}, skipping.")
+            continue
+        if meta[:, -1].sum() > 0:
+            num_collision_trajs += 1
+            logger(
+                f"[DATALOADER] {meta[:, -1].sum()} collisions in {gname}, "
+                f"{num_collision_trajs}th so far, "
+                f"{'skipping!' if not keep_collisions else 'keeping!'}"
+            )
+            if not keep_collisions:
+                continue
+        metas.append(np.asarray(meta, np.float32))
+        ims_list.append(np.asarray(g["ims"][()], np.float32))
+        depths_list.append(np.asarray(g["depths"][()], np.float32))
+        if load_evs:
+            evs_list.append(np.asarray(g["evs"][()], np.float32))
+        desired_vels.append(np.asarray(meta[:, 2], np.float32))
+        kept_folders.append(folder)
+        kept_ids.append(traj_folders_ids[traj_i])
+
+    f.close()
+    if not metas:
+        raise ValueError(f"No valid trajectories in {h5_filename}")
+
+    # ---- optional resize ----
+    if resize_input is not None:
+        size = tuple(resize_input)
+        needs = (
+            ims_list[0].shape[-2:] != size
+            or depths_list[0].shape[-2:] != size
+            or (load_evs and evs_list[0].shape[-2:] != size)
+        )
+        if needs:
+            logger(f"[DATALOADER] Resizing input images to {resize_input}")
+            ims_list = [_resize_bilinear_np(x, size) for x in ims_list]
+            depths_list = [_resize_bilinear_np(x, size) for x in depths_list]
+            if load_evs:
+                evs_list = [_resize_bilinear_np(x, size) for x in evs_list]
+
+    traj_lengths = np.array([x.shape[0] for x in ims_list])
+    meta_full = np.concatenate(metas, axis=0)
+    ims_full = np.concatenate(ims_list, axis=0)
+    depths_full = np.concatenate(depths_list, axis=0)
+    desvel_full = np.concatenate(desired_vels, axis=0)
+
+    # ---- split ----
+    n_traj = len(traj_lengths)
+    if split_method == "train-val":
+        num_train = int((1.0 - val_split) * n_traj)
+        tr_tr = (0, num_train)
+        va_tr = (num_train, n_traj)
+    elif split_method == "val-train":
+        num_val = int(val_split * n_traj)
+        va_tr = (0, num_val)
+        tr_tr = (num_val, n_traj)
+    else:
+        raise ValueError(f"split_method={split_method}")
+
+    def frame_range(traj_range):
+        lo = int(np.sum(traj_lengths[: traj_range[0]], dtype=np.int64))
+        hi = int(np.sum(traj_lengths[: traj_range[1]], dtype=np.int64))
+        return lo, hi
+
+    # ---- depth rescale ----
+    if rescale_depth > 0.0:
+        logger(
+            f"[DATALOADER] Rescaling depth by {rescale_depth}\tNOTE max/min of dataset "
+            f"depth is {depths_full.max()}/{depths_full.min()}."
+        )
+        depths_full = np.clip(depths_full / rescale_depth, 0.0, 1.0)
+
+    # ---- event-frame rescale ----
+    if load_evs:
+        max_evs = max(ev.max() for ev in evs_list)
+        min_evs = min(ev.min() for ev in evs_list)
+        logger(f"[DATALOADER] Rescaling evs = {rescale_evs}\tNOTE max/min of dataset evs is {max_evs}/{min_evs}.")
+        if rescale_evs > 0.0:
+            evs_list = [np.clip(ev / rescale_evs, -1.0, 1.0) for ev in evs_list]
+        elif rescale_evs == -1.0:
+            for i, ev in enumerate(evs_list):
+                flat = np.abs(ev).reshape(ev.shape[0], -1)
+                maxvals = np.quantile(flat, 0.97, axis=1)  # linear interp == torch
+                # all-zero frames (e.g. before first motion) would divide by 0
+                maxvals = np.where(maxvals > 0, maxvals, 1.0)
+                evs_list[i] = np.clip(ev / maxvals[:, None, None], -1.0, 1.0)
+        if evs_min_cutoff is not None:
+            for i, ev in enumerate(evs_list):
+                ev = ev.copy()
+                ev[np.abs(ev) < evs_min_cutoff] = 0.0
+                evs_list[i] = ev
+
+    def make_split(traj_range) -> TrajectorySplit:
+        lo, hi = frame_range(traj_range)
+        t0, t1 = traj_range
+        return TrajectorySplit(
+            meta=meta_full[lo:hi],
+            ims=ims_full[lo:hi],
+            depths=depths_full[lo:hi],
+            trajlength=traj_lengths[t0:t1],
+            desvel=desvel_full[lo:hi],
+            evs=evs_list[t0:t1] if load_evs else None,
+            dirs=kept_folders[t0:t1],
+            dirs_ids=kept_ids[t0:t1],
+        )
+
+    return make_split(tr_tr), make_split(va_tr), True

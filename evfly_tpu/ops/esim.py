@@ -1,0 +1,99 @@
+"""ESIM-style event simulation from image sequences, as a lax.scan.
+
+The reference generates training events with the external CUDA
+``esim_torch`` after SuperSloMo frame upsampling (utils/to_events.py:188-244,
+thresholds ±0.2, refractory 0.5e6 ns), then accumulates per-inter-frame
+windows into frames (:400-412).  TPU-native counterpart: the ESIM contrast
+model — a pixel emits an event each time log-intensity crosses a multiple of
+the threshold from a per-pixel reference level — evaluated directly on the
+frame sequence with linear-in-log interpolation between frames (replacing
+learned SuperSloMo interpolation; documented divergence) and carried
+reference levels, all inside one lax.scan.  Output is the per-window signed
+event-count frame × threshold — the exact tensor the voxelizer produces
+from a discrete event list of the same crossings.
+
+A generator variant materializes discrete (t, x, y, p) events per window for
+testing the Pallas voxelizer against the frame path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@functools.partial(jax.jit, static_argnames=("pos_thresh", "neg_thresh"))
+def esim_event_frames(
+    frames: jnp.ndarray,       # (T, H, W) intensity in [0, 1]
+    pos_thresh: float = 0.2,
+    neg_thresh: float = 0.2,
+    eps: float = 1e-10,
+) -> jnp.ndarray:
+    """(T-1, H, W) event frames: signed threshold-crossing counts × threshold.
+
+    Carries the per-pixel reference log level across windows, so a slow ramp
+    spread over many frames emits each crossing exactly once (matching the
+    integrating behavior of the continuous simulator, unlike plain difflog
+    which re-quantizes every frame pair independently).
+    """
+    logs = jnp.log(frames.astype(jnp.float32) + eps)
+
+    def step(ref_level, log_t):
+        delta = log_t - ref_level
+        pos_events = jnp.floor(jnp.maximum(delta, 0.0) / pos_thresh)
+        neg_events = jnp.floor(jnp.maximum(-delta, 0.0) / neg_thresh)
+        frame = pos_thresh * pos_events - neg_thresh * neg_events
+        new_ref = ref_level + frame  # reference advances by emitted quanta
+        return new_ref, frame
+
+    _, out = lax.scan(step, logs[0], logs[1:])
+    return out
+
+
+def esim_events_list(
+    frames, t_frames, pos_thresh: float = 0.2, neg_thresh: float = 0.2, eps: float = 1e-10
+):
+    """Host-side discrete event generation (testing / voxelizer input).
+
+    Returns (t, x, y, p) numpy arrays; event timestamps linearly interpolated
+    within each inter-frame interval in crossing order.
+    """
+    import numpy as np
+
+    frames = np.asarray(frames, np.float64)
+    t_frames = np.asarray(t_frames, np.float64)
+    logs = np.log(frames + eps)
+    ref = logs[0].copy()
+    ts, xs, ys, ps = [], [], [], []
+    H, W = frames.shape[1:]
+    for i in range(1, len(frames)):
+        delta = logs[i] - ref
+        n_pos = np.floor(np.maximum(delta, 0) / pos_thresh).astype(int)
+        n_neg = np.floor(np.maximum(-delta, 0) / neg_thresh).astype(int)
+        total = n_pos + n_neg
+        if total.sum() == 0:
+            continue
+        yy, xx = np.nonzero(total)
+        for y, x in zip(yy, xx):
+            n = int(n_pos[y, x]) or -int(n_neg[y, x])
+            cnt = abs(n)
+            sign = 1 if n > 0 else -1
+            # timestamps spread uniformly in the interval per crossing
+            for k in range(cnt):
+                frac = (k + 1) / (cnt + 1)
+                ts.append(t_frames[i - 1] + frac * (t_frames[i] - t_frames[i - 1]))
+                xs.append(x)
+                ys.append(y)
+                ps.append(sign)
+        ref += pos_thresh * n_pos - neg_thresh * n_neg
+    order = np.argsort(np.array(ts)) if ts else np.array([], int)
+    return (
+        np.array(ts, np.float64)[order],
+        np.array(xs, np.float64)[order],
+        np.array(ys, np.float64)[order],
+        np.array(ps, np.int32)[order],
+    )

@@ -136,9 +136,10 @@ def max_pool2d(x: jnp.ndarray, kernel_size, stride=None) -> jnp.ndarray:
 def avg_pool2d(x: jnp.ndarray, kernel_size, stride=None) -> jnp.ndarray:
     kh, kw = _pair(kernel_size)
     sh, sw = _pair(stride if stride is not None else kernel_size)
+    # literal 0 init so jax lowers to the differentiable reduce_window_sum
     summed = lax.reduce_window(
         x,
-        jnp.zeros((), x.dtype),
+        0.0,
         lax.add,
         window_dimensions=(1, 1, kh, kw),
         window_strides=(1, 1, sh, sw),

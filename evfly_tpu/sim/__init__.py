@@ -1,0 +1,18 @@
+from .obstacles import ObstacleField, generate_forest, load_obstacle_csv, save_obstacle_csv
+from .expert import expert_velocity_command
+from .dynamics import QuadState, VelocityTrackingQuad
+from .evaluator import TrialEvaluator
+from .closed_loop import run_trial, rollout_to_trajectory
+
+__all__ = [
+    "ObstacleField",
+    "generate_forest",
+    "load_obstacle_csv",
+    "save_obstacle_csv",
+    "expert_velocity_command",
+    "QuadState",
+    "VelocityTrackingQuad",
+    "TrialEvaluator",
+    "run_trial",
+    "rollout_to_trajectory",
+]

@@ -1,0 +1,640 @@
+"""The Learner: config → workspace → data → model → train/val loops.
+
+Public-API parity with the reference ``Learner`` (learner.py:36-1165):
+``train()``, ``validation(ep)``, ``run_model(...)``, ``save_model``,
+``load_from_checkpoint``, the same config files, workspace layout
+(``d{MM}_{DD}_t{HH}_{MM}[_n]`` dirs, args.txt/config.txt/log.txt snapshots,
+``train_val_dirs.npy`` split persistence), checkpoint naming
+(``model_ep{ep:06d}.pth``, per-term ``model_best{i}_ep*.pth`` with old-best
+deletion), LR schedule (linear warmup → constant or exponential decay,
+learner.py:622-630), and TensorBoard scalar names.
+
+TPU-native training-loop design (vs the reference's per-chunk host loop):
+
+* Every chunk is padded to a fixed ``batch_size`` with a validity mask, so
+  the whole run compiles exactly ONE train step and ONE eval step — no
+  recompiles across ragged trajectory tails (SURVEY.md §7.4 "variable-length
+  trajectories under XLA").  Masked means keep the loss math identical.
+* The train step is jitted with donated params/opt-state; batch-norm running
+  stats and spectral-norm u/v updates are folded in functionally.
+* LR follows the reference's per-trajectory-iteration schedule via
+  optax.inject_hyperparams.
+* Recurrent state is zero-initialized per chunk in training (the reference
+  passes hidden=None per chunk, learner.py:1047-1049) and carried across
+  steps only in streaming inference (stream/).
+
+Documented divergence from the reference (working-path rebuild per
+SURVEY.md §7.4): the shipped run_model leaves ``traj_input`` unbound for
+``mode=='train'`` with event inputs (learner.py:986-995 has no train
+branch — a latent NameError); we use the val-path event indexing for both
+modes, which is the behavior the rest of the file assumes.
+"""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+import time
+from datetime import datetime
+from functools import partial
+from os.path import join as opj
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..configs import EvflyConfig
+from ..data.dataloading import TrajectorySplit, dataloader
+from ..models import port
+from ..models.common import Params, is_trainable_key
+from ..models.registry import build_model
+
+
+def _model_kind(model_type) -> str:
+    if isinstance(model_type, list):
+        if model_type[0] == "OrigUNet" and model_type[1] == "VITFLY_ViTLSTM":
+            return "joint_vitlstm"
+        if model_type[0] == "OrigUNet" and model_type[1] == "ConvNet_w_VelPred":
+            return "joint_convnet"
+        raise ValueError(model_type)
+    if model_type == "OrigUNet":
+        return "origunet"
+    if "VITFLY_" in model_type or model_type in (
+        "LSTMNetVIT", "ViT", "LSTMNet", "ConvNet", "UNetConvLSTMNet",
+    ):
+        return "vitfly"
+    if model_type == "ConvNet_w_VelPred":
+        return "convnet_velpred"
+    return "other"
+
+
+class Learner:
+    def __init__(
+        self,
+        args: Optional[EvflyConfig] = None,
+        dataset_name=None,
+        short: int = 0,
+        no_model: bool = False,
+        val_split: float = 0.2,
+        events: str = "",
+        do_transform: bool = False,
+        use_h5: bool = True,
+    ):
+        if args is None:
+            args = EvflyConfig(
+                dataset=[dataset_name] if not isinstance(dataset_name, list) else dataset_name,
+                short=short,
+                val_split=val_split,
+                events=events,
+                do_transform=do_transform,
+                use_h5=use_h5,
+                seed=-2,
+                keep_collisions=True,
+                load_trainval=True,
+                model_type=["LSTMNet"],
+                basedir=".",
+                datadir="data/datasets",
+            )
+        self.args = args
+        self.cfg = args
+
+        c = self.cfg
+        self.model_type = c.model_type_norm
+        self.checkpoint_path = c.checkpoint_path_norm
+        self.combine_checkpoints = c.combine_checkpoints
+        self.num_recurrent = c.num_recurrent
+        self.batch_size = c.batch_size
+        self.loss_weights = c.loss_weights
+        self.optional_loss_param = c.optional_loss_param
+        self.events = c.events_filename
+        self.lr = c.lr
+        self.N_eps = c.N_eps
+        self.rescale_evs = c.rescale_evs
+
+        dataset_name_list = c.dataset if isinstance(c.dataset, list) else [c.dataset]
+        self.dataset_name = dataset_name_list
+
+        # handle combine_checkpoints mistakenly set without a checkpoint list
+        if self.combine_checkpoints and not isinstance(self.checkpoint_path, list):
+            self.combine_checkpoints = False
+
+        if c.seed is not None and c.seed >= 0:
+            np.random.seed(c.seed)
+
+        # ---------------- workspace ----------------
+        expname = datetime.now().strftime("d%m_%d_t%H_%M")
+        base_ws = opj(c.basedir, c.logdir, expname) + c.ws_suffix
+        ws = base_ws
+        ctr = 2
+        while os.path.exists(ws):
+            ws = base_ws + f"_{ctr}"
+            ctr += 1
+        self.workspace = ws
+        os.makedirs(self.workspace)
+        self.previous_tag = None
+        self.logfile = open(opj(self.workspace, "log.txt"), "w")
+
+        with open(opj(self.workspace, "args.txt"), "w") as fh:
+            for k in sorted(c.to_dict()):
+                fh.write(f"{k} = {getattr(c, k)}\n")
+        if c.config and os.path.exists(str(c.config)):
+            with open(opj(self.workspace, "config.txt"), "w") as fh:
+                fh.write(open(c.config).read())
+
+        self.writer = None
+        if not no_model:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.writer = SummaryWriter(self.workspace)
+            except Exception:
+                self.mylogger("[Learner init] TensorBoard unavailable; scalars to log.txt only")
+
+        self.mylogger(f"[Learner init] Making workspace {self.workspace}")
+
+        if self.dataset_name in (None, [None], [""], ["None"]):
+            self.dataset_name = [None]
+            self.mylogger("[Learner init] No dataset name provided, not loading a dataset!")
+
+        self.dataset_dir = []
+        for dn in self.dataset_name:
+            if dn is None:
+                continue
+            self.dataset_dir.append(dn if os.path.isabs(dn) else opj(c.datadir, dn))
+
+        # ---------------- dataloading ----------------
+        train_val_dirs = None
+        if self.checkpoint_path not in ("", [""], None) and c.load_trainval:
+            self.mylogger("[Learner init] Trying to load train_val_dirs from checkpoint...")
+            try:
+                cp = self.checkpoint_path if isinstance(self.checkpoint_path, str) else self.checkpoint_path[0]
+                train_val_dirs = tuple(
+                    np.load(opj(os.path.dirname(cp), "train_val_dirs.npy"), allow_pickle=True)
+                )
+                self.mylogger("[Learner init] Loaded train_val_dirs from checkpoint")
+            except Exception:
+                self.mylogger("[Learner init] Could not load train_val_dirs from checkpoint, dataloading from scratch")
+
+        self.train: Optional[TrajectorySplit] = None
+        self.val: Optional[TrajectorySplit] = None
+        if self.dataset_dir:
+            self.learner_dataloading(train_val_dirs)
+            self.num_training_steps = len(self.train.trajlength)
+            self.num_val_steps = len(self.val.trajlength)
+        else:
+            self.num_training_steps = 0
+            self.num_val_steps = 0
+
+        self.lowest_val_loss = math.inf
+        self.lr_warmup_iters = c.lr_warmup_epochs * max(self.num_training_steps, 1)
+
+        # ---------------- model + optimizer ----------------
+        self.model = None
+        self.params: Optional[Params] = None
+        self.num_eps_trained = 0
+        if not no_model:
+            self.model = build_model(c)
+            key = jax.random.PRNGKey(c.seed if (c.seed is not None and c.seed >= 0) else 0)
+            self.params = self.model.init(key)
+            self.mylogger(
+                f"[SETUP] Number of parameters: "
+                f"{sum(int(v.size) for v in self.params.values()):,}"
+            )
+            self._build_optimizer()
+            self.load_from_checkpoint(self.checkpoint_path)
+            self._step_cache: Dict[Any, Any] = {}
+            self._rng = jax.random.PRNGKey(0 if c.seed is None or c.seed < 0 else c.seed)
+
+        self.total_its = self.num_eps_trained * self.num_training_steps
+        self.last_eval_plot_ep = 0
+
+    # ------------------------------------------------------------------ utils
+
+    def mylogger(self, msg: str):
+        tag = msg.split("[")[1].split("]")[0] if "[" in msg and "]" in msg else None
+        if tag is not None and tag != self.previous_tag:
+            print()
+            self.logfile.write("\n")
+        print(msg)
+        self.logfile.write(msg + "\n")
+        self.logfile.flush()
+        self.previous_tag = tag
+
+    def _build_optimizer(self):
+        mask = {k: is_trainable_key(k) for k in self.params}
+        self.optimizer = optax.inject_hyperparams(
+            lambda learning_rate: optax.masked(optax.adam(learning_rate), mask)
+        )(learning_rate=self.lr)
+        self.opt_state = self.optimizer.init(self.params)
+
+    def lr_scheduler(self, it: int) -> float:
+        """learner.py:622-630 parity."""
+        if it < self.lr_warmup_iters:
+            return (0.9 * self.lr) / self.lr_warmup_iters * it + 0.1 * self.lr
+        if self.cfg.lr_decay:
+            return self.lr * (
+                0.1 ** ((it - self.lr_warmup_iters) / (self.N_eps * max(self.num_training_steps, 1)))
+            )
+        return self.lr
+
+    # ------------------------------------------------------------- dataload
+
+    def learner_dataloading(self, train_val_dirs=None):
+        c = self.cfg
+        trains, vals = [], []
+        for data_dir in self.dataset_dir:
+            full = data_dir if os.path.isabs(data_dir) else opj(c.basedir, data_dir)
+            self.mylogger(f"[DATALOADER] Loading from {data_dir} from set {self.dataset_dir}")
+            tr, va, _is_png = dataloader(
+                full,
+                val_split=c.val_split,
+                short=c.short,
+                seed=c.seed,
+                train_val_dirs=train_val_dirs,
+                events=self.events,
+                keep_collisions=c.keep_collisions,
+                logger=self.mylogger,
+                do_transform=c.do_transform,
+                use_h5=c.use_h5,
+                resize_input=c.resize_input,
+                split_method=c.split_method,
+                rescale_depth=c.rescale_depth,
+                rescale_evs=c.rescale_evs,
+                evs_min_cutoff=c.evs_min_cutoff,
+            )
+            trains.append(tr)
+            vals.append(va)
+            self.mylogger(
+                f"[DATALOADER] Dataloading done | train images {tr.ims.shape}, val images {va.ims.shape}"
+            )
+
+        def concat(splits: List[TrajectorySplit]) -> TrajectorySplit:
+            return TrajectorySplit(
+                meta=np.concatenate([s.meta for s in splits]),
+                ims=np.concatenate([s.ims for s in splits]),
+                depths=np.concatenate([s.depths for s in splits]),
+                trajlength=np.concatenate([s.trajlength for s in splits]),
+                desvel=np.concatenate([s.desvel for s in splits]),
+                evs=(
+                    [ev for s in splits for ev in s.evs] if splits[0].evs is not None else None
+                ),
+                dirs=[d for s in splits for d in s.dirs],
+                dirs_ids=[i for s in splits for i in s.dirs_ids],
+            )
+
+        self.train = concat(trains)
+        self.val = concat(vals)
+
+        np.save(
+            opj(self.workspace, "train_val_dirs.npy"),
+            np.array(
+                (self.train.dirs, self.val.dirs, self.train.dirs_ids, self.val.dirs_ids),
+                dtype=object,
+            ),
+        )
+
+    # ------------------------------------------------------------ checkpoint
+
+    def save_model(self, ep: int, best: int = -2):
+        ep_str = str(ep).zfill(6)
+        if best == -2:
+            self.mylogger(f"[SAVE] Saving model at epoch {ep}")
+            model_path = opj(self.workspace, f"model_ep{ep_str}.pth")
+            port.save_state_dict(self.params, model_path)
+            self.mylogger(f"[SAVE] Model saved at {self.workspace}")
+        else:
+            suffix = "_best_" if best < 0 else f"_best{best}_"
+            self.mylogger(f"[SAVE] Saving best (type {best}) model at epoch {ep}")
+            model_path = opj(self.workspace, f"model{suffix}ep{ep_str}.pth")
+            for f in glob.glob(opj(self.workspace, f"model{suffix}*")):
+                os.remove(f)
+            port.save_state_dict(self.params, model_path)
+            self.mylogger(f"[SAVE] Best model saved at {model_path}")
+
+    def load_from_checkpoint(self, checkpoint_path):
+        if checkpoint_path in ("", [""], None, [None], [], ["None"]):
+            print("[SETUP] In load_from_checkpoint, but checkpoint_path is empty, so not loading from checkpoint")
+            return
+        cp0 = checkpoint_path if isinstance(checkpoint_path, str) else checkpoint_path[0]
+        self.num_eps_trained = port.parse_epoch_from_path(cp0 if isinstance(checkpoint_path, str) else cp0)
+        if self.num_eps_trained == 0:
+            self.mylogger(
+                f"[SETUP] Could not parse number of epochs trained from checkpoint path {checkpoint_path}, using 0"
+            )
+        self.mylogger(
+            f"[SETUP] Loading checkpoint from {checkpoint_path}, already trained for {self.num_eps_trained} epochs"
+        )
+        if self.combine_checkpoints and isinstance(checkpoint_path, list):
+            sds = [port.load_state_dict(cp) for cp in checkpoint_path]
+            names = [self.model_type[0].lower(), self.model_type[1].lower()]
+            # reference maps VITFLY_ViTLSTM -> attribute 'vitfly_vitlstm'
+            combined = port.combine_state_dicts(sds, model_names=names)
+            self.params = port.load_into(self.params, combined, strict=False)
+        elif isinstance(self.model_type, list):
+            sd0 = port.load_state_dict(checkpoint_path[0])
+            sd1 = port.load_state_dict(checkpoint_path[1])
+            self.params = port.load_into(self.params, sd0, prefix="origunet.")
+            second = "vitfly_vitlstm." if self.model_type[1] == "VITFLY_ViTLSTM" else "convnet_w_velpred."
+            self.params = port.load_into(self.params, sd1, prefix=second)
+        else:
+            sd = port.load_state_dict(checkpoint_path)
+            self.params = port.load_into(self.params, sd, strict=False)
+
+    # ----------------------------------------------------------- jitted steps
+
+    def _kind(self) -> str:
+        return _model_kind(self.model_type)
+
+    def _get_step(self, mode: str):
+        from .stepfn import make_eval_step, make_train_step
+
+        key = (mode,)
+        if key in self._step_cache:
+            return self._step_cache[key]
+        if mode == "train":
+            step = jax.jit(
+                make_train_step(
+                    self.model, self._kind(), self.optimizer,
+                    self.loss_weights, self.optional_loss_param,
+                    data_augmentation=self.cfg.data_augmentation != 0.0,
+                    num_out_channels=self.cfg.num_out_channels,
+                )
+            )
+        else:
+            step = jax.jit(
+                make_eval_step(
+                    self.model, self._kind(), self.loss_weights, self.optional_loss_param,
+                    num_out_channels=self.cfg.num_out_channels,
+                )
+            )
+        self._step_cache[key] = step
+        return step
+
+    # -------------------------------------------------------------- run_model
+
+    def _chunk_padded(self, arr: np.ndarray, ids: np.ndarray, B: int) -> np.ndarray:
+        out = arr[ids]
+        if len(ids) < B:
+            pad_shape = (B - len(ids),) + out.shape[1:]
+            out = np.concatenate([out, np.zeros(pad_shape, out.dtype)])
+        return out
+
+    def run_model(
+        self,
+        it: int,
+        traj_starts: np.ndarray,
+        traj_lengths: np.ndarray,
+        traj_ids: np.ndarray,
+        mode: str,
+        return_inputs: bool = False,
+        batch_size: int = 0,
+        do_step: bool = True,
+    ):
+        """Run one trajectory through the model in padded chunks.
+
+        Mirrors learner.py:920-1165: returns ((loss, loss_terms),
+        (preds_full, extras)) and optionally the inputs for eval plotting.
+        """
+        split = self.train if mode == "train" else self.val
+        c = self.cfg
+
+        T = int(traj_lengths[it]) - 1
+        ids = np.arange(traj_starts[it] + 1, traj_starts[it] + traj_lengths[it])
+        B = batch_size if batch_size > 0 else len(ids)
+        B_max = self._chunk_B(mode) if batch_size > 0 else self._max_tlen(mode)
+        chunk_sets = [ids[i : i + B] for i in range(0, len(ids), B)]
+
+        if c.num_in_channels == 1:
+            input_src = split.depths
+        elif c.num_in_channels == 2:
+            input_src = None  # evs, per-trajectory ragged list
+        else:
+            raise ValueError(f"num_in_channels {c.num_in_channels}")
+        gt_src = split.depths if c.num_out_channels == 1 else None
+
+        total_loss = 0.0
+        term_values = None
+        preds_vel_full = np.zeros((T, 3), np.float32)
+        preds_vision_full = np.zeros((T, 1, split.ims.shape[-2], split.ims.shape[-1]), np.float32)
+        gts_full = (
+            np.zeros_like(preds_vel_full),
+            np.zeros_like(preds_vision_full),
+        )
+
+        step = self._get_step(mode if (mode == "train" and do_step) else "eval")
+
+        for batch_ids in chunk_sets:
+            n_valid = len(batch_ids)
+            local = batch_ids - 1 - traj_starts[it]
+            if c.num_in_channels == 2:
+                inp = self._chunk_padded(split.evs[traj_ids[it]], local, B_max)[:, None]
+            else:
+                inp = self._chunk_padded(input_src, batch_ids, B_max)[:, None]
+            if c.num_out_channels == 2:
+                gt_frames = self._chunk_padded(split.evs[traj_ids[it]], local, B_max)[:, None]
+            else:
+                gt_frames = self._chunk_padded(gt_src, batch_ids, B_max)[:, None]
+            desvel = self._chunk_padded(split.desvel, batch_ids, B_max)[:, None]
+            # guard padded desvel against div-by-zero in gt normalization
+            desvel[n_valid:] = 1.0
+            gt_vel = self._chunk_padded(split.velcmd, batch_ids, B_max)
+            mask = np.zeros((B_max,), np.float32)
+            mask[:n_valid] = 1.0
+
+            batch = {
+                "input": jnp.asarray(inp),
+                "desvel": jnp.asarray(desvel),
+                "gt_vel": jnp.asarray(gt_vel),
+                "gt_frames": jnp.asarray(gt_frames),
+                "mask": jnp.asarray(mask),
+            }
+            self._rng, k = jax.random.split(self._rng)
+
+            if mode == "train" and do_step:
+                self.params, self.opt_state, batch_loss, values, gradnorm = step(
+                    self.params, self.opt_state, batch, k
+                )
+                self._last_gradnorm = float(gradnorm)
+            else:
+                batch_loss, values, pred_vel, pred_vision = step(self.params, batch, k)
+                sl = slice(int(local[0]), int(local[0]) + n_valid)
+                preds_vel_full[sl] = np.asarray(pred_vel)[:n_valid]
+                if pred_vision is not None:
+                    preds_vision_full[sl] = np.asarray(pred_vision)[:n_valid]
+                gts_full[0][sl] = gt_vel[:n_valid]
+                gts_full[1][sl] = gt_frames[:n_valid]
+
+            total_loss += float(batch_loss)
+            v = np.asarray(values)
+            term_values = v if term_values is None else term_values + v
+
+        assert not math.isnan(total_loss), f"[RUN_MODEL] Loss is NaN at iteration {it}"
+
+        preds_full = (preds_vel_full, preds_vision_full)
+        extras = ()
+        if not return_inputs:
+            return (total_loss, term_values), (preds_full, extras)
+        traj_input_ims = split.ims[ids][:, None]
+        traj_input_evs = (
+            split.evs[traj_ids[it]][:, None] if split.evs is not None else None
+        )
+        traj_desvels = split.desvel[ids][:, None]
+        return (
+            (total_loss, term_values),
+            (preds_full, extras),
+            (traj_input_ims, traj_input_evs, traj_desvels, gts_full),
+        )
+
+    def _chunk_B(self, mode: str) -> int:
+        return self.batch_size if self.batch_size > 0 else self._max_tlen(mode)
+
+    def _max_tlen(self, mode: str) -> int:
+        split = self.train if mode == "train" else self.val
+        return int(max(split.trajlength)) if len(split.trajlength) else 1
+
+    # ------------------------------------------------------------ train loop
+
+    def train_loop(self):
+        """Reference ``Learner.train`` (learner.py:670-749)."""
+        c = self.cfg
+        self.mylogger(f"[TRAIN] Training for {self.N_eps} epochs")
+        train_start = time.time()
+        traj_starts_base = self.train.traj_starts
+
+        new_lr = self.lr
+        ep = self.num_eps_trained
+        for ep in range(self.num_eps_trained, self.num_eps_trained + self.N_eps):
+            if c.eval_tools_freq > 0 and (ep - self.num_eps_trained) % c.eval_tools_freq == 0:
+                self.eval_tools(ep)
+            if (ep - self.num_eps_trained) % c.save_model_freq == 0:
+                self.save_model(ep, best=-2)
+            if (ep - self.num_eps_trained) % c.val_freq == 0:
+                self.validation(ep)
+
+            ep_loss = 0.0
+            ep_loss_terms = []
+            gradnorm = 0.0
+
+            shuffled = np.random.permutation(len(traj_starts_base))
+            traj_starts = traj_starts_base[shuffled]
+            traj_lengths = self.train.trajlength[shuffled]
+
+            for it in range(self.num_training_steps):
+                new_lr = self.lr_scheduler(self.total_its - self.num_eps_trained * self.num_training_steps)
+                self.opt_state.hyperparams["learning_rate"] = jnp.asarray(new_lr)
+                (loss, loss_terms), _ = self.run_model(
+                    it, traj_starts, traj_lengths, shuffled, "train", batch_size=self.batch_size
+                )
+                ep_loss += loss
+                ep_loss_terms.append(loss_terms)
+                gradnorm += getattr(self, "_last_gradnorm", 0.0)
+                self.total_its += 1
+
+            ep_loss /= self.num_training_steps
+            gradnorm /= self.num_training_steps
+            ep_loss_terms = np.mean(ep_loss_terms, axis=0)
+
+            if ep % c.print_trainprogress_freq == 0:
+                terms = ", ".join(f"{t:.3f}" for t in ep_loss_terms)
+                self.mylogger(
+                    f"[TRAIN] Completed epoch {ep + 1}/{self.num_eps_trained + self.N_eps}, "
+                    f"ep_loss = {ep_loss:.3f}, terms = {terms}, "
+                    f"time = {time.time() - train_start:.2f}s"
+                )
+            if self.writer:
+                self.writer.add_scalar("train/loss", ep_loss, ep)
+                self.writer.add_scalar("train/gradnorm", gradnorm, ep)
+                self.writer.add_scalar("train/lr", new_lr, ep)
+                for i, t in enumerate(ep_loss_terms):
+                    self.writer.add_scalar(f"train/loss_term_{i}", t, ep)
+                self.writer.flush()
+
+        self.mylogger(f"[TRAIN] Training complete, total time = {time.time() - train_start:.2f}s")
+        self.save_model(ep, best=-2)
+
+        if c.eval_tools_on_best:
+            best_eps = []
+            for f in glob.glob(opj(self.workspace, "model_best*.pth")):
+                best_eps.append(int(f.split("_")[-1][2:-4]))
+            for b_ep in sorted(best_eps):
+                self.eval_tools(b_ep, load_ckpt=True)
+
+    def validation(self, ep: int):
+        """Reference ``Learner.validation`` (learner.py:751-801)."""
+        c = self.cfg
+        val_start = time.time()
+        ep_loss = 0.0
+        ep_loss_terms = []
+        val_traj_starts = self.val.traj_starts
+
+        for it in range(self.num_val_steps):
+            (loss, loss_terms), _ = self.run_model(
+                it, val_traj_starts, self.val.trajlength, np.arange(len(val_traj_starts)), "val",
+                batch_size=self.batch_size,
+            )
+            ep_loss += loss
+            ep_loss_terms.append(loss_terms)
+
+        ep_loss /= max(self.num_val_steps, 1)
+        ep_loss_terms = np.mean(ep_loss_terms, axis=0) if ep_loss_terms else np.zeros(2)
+
+        if ep in (self.num_eps_trained, self.num_eps_trained + 1) or not isinstance(
+            self.lowest_val_loss, list
+        ):
+            self.lowest_val_loss = [math.inf] * (len(ep_loss_terms) + 1)
+
+        if ep % c.print_trainprogress_freq == 0:
+            terms = ", ".join(f"{t:.3f}" for t in ep_loss_terms)
+            self.mylogger(
+                f"[VAL] Validated epoch {ep + 1}/{self.num_eps_trained + self.N_eps} over "
+                f"{self.val.ims.shape[0]} images, val_loss = {ep_loss:.6f}, terms = {terms}, "
+                f"time taken = {time.time() - val_start:.2f} s"
+            )
+        if self.writer:
+            self.writer.add_scalar("val/loss", ep_loss, ep)
+        for i, t in enumerate(ep_loss_terms):
+            if self.writer:
+                self.writer.add_scalar(f"val/loss_term_{i}", t, ep)
+            if t < self.lowest_val_loss[i + 1]:
+                self.lowest_val_loss[i + 1] = t
+                self.mylogger(
+                    f"[VAL] New lowest val_loss term {i} = {t:.6f} at ep "
+                    f"{ep + 1}/{self.num_eps_trained + self.N_eps}, saving model"
+                )
+                self.save_model(ep, best=i)
+        if self.writer:
+            self.writer.flush()
+        if ep_loss < self.lowest_val_loss[0]:
+            self.lowest_val_loss[0] = ep_loss
+            self.mylogger(
+                f"[VAL] New lowest val_loss = {ep_loss:.6f} at ep "
+                f"{ep + 1}/{self.num_eps_trained + self.N_eps}, saving model"
+            )
+            self.save_model(ep, best=-1)
+
+    def eval_tools(self, ep: int, load_ckpt: bool = False):
+        """Periodic eval plot generation (learner.py:652-668)."""
+        self.last_eval_plot_ep = ep
+        try:
+            from .evaluation_tools import eval_plotter
+        except Exception as e:  # matplotlib may be unavailable headless
+            self.mylogger(f"[SAVE] eval_tools unavailable: {e}")
+            return
+        model_path = opj(self.workspace, f"model_ep{str(ep).zfill(6)}.pth")
+        if not os.path.exists(model_path):
+            cands = glob.glob(opj(self.workspace, f"model*{str(ep).zfill(6)}.pth"))
+            if not cands:
+                self.mylogger(f"[SAVE] Model checkpoint not found for ep {ep}, skipping eval plot")
+                return
+            model_path = cands[0]
+        fig, title = eval_plotter(self, model_path, load_ckpt=load_ckpt)
+        if self.writer:
+            self.writer.add_figure("val/plot", fig, global_step=ep)
+            self.writer.flush()
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)

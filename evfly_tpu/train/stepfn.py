@@ -1,0 +1,136 @@
+"""Shared jitted step builders for the Learner and the data-parallel path.
+
+Encapsulates the reference's per-model-type dispatch (learner.py:1047-1083)
+— which outputs feed which loss term, which models zero the z velocity —
+plus spectral-norm power iteration and batch-norm state threading, as pure
+functions of (params, batch, rng) suitable for jit/pjit.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.augment import augment_chunk
+from ..models.common import Params, is_trainable_key
+from ..ops.imageops import spectral_norm_power_iteration
+from .losses import combined_loss
+
+
+def apply_for_loss(model, kind: str, params, inp, desvel, train, rng):
+    """Run the model per the reference dispatch; returns (pred_vel, pred_vision, updates)."""
+    if kind == "origunet":
+        vel, (y_interp, _up, _h), updates = model.apply(params, [inp, desvel, None], train=train, rng=rng)
+        return vel, y_interp, updates
+    if kind == "vitfly":
+        vel, _h, updates = model.apply(params, [inp, desvel, None, None], train=train, rng=rng)
+        return vel.at[:, 2].set(0.0), None, updates
+    if kind == "joint_vitlstm":
+        vel, (depth, _up, _h), updates = model.apply(
+            params, [inp, desvel, (None, None), None], train=train, rng=rng
+        )
+        return vel.at[:, 2].set(0.0), depth, updates
+    if kind == "joint_convnet":
+        vel, (depth, _up, _h), updates = model.apply(
+            params, [inp, desvel, (None, None), None], train=train, rng=rng
+        )
+        return vel, depth, updates
+    if kind == "convnet_velpred":
+        vel, _h, updates = model.apply(params, [inp, desvel, None], train=train, rng=rng)
+        return vel, None, updates
+    raise ValueError(kind)
+
+
+def make_forward_loss(
+    model,
+    kind: str,
+    loss_weights: Optional[Sequence[float]],
+    optional_loss_param: Optional[Sequence[float]],
+    data_augmentation: bool = False,
+    num_out_channels: int = 1,
+    train: bool = True,
+) -> Callable:
+    """batch = {input, desvel, gt_vel, gt_frames, mask} -> (loss, aux)."""
+
+    def forward_loss(params: Params, batch, rng):
+        inp, desvel = batch["input"], batch["desvel"]
+        gt_norm_vel = batch["gt_vel"] / desvel
+        gt_frames = batch["gt_frames"]
+        mask = batch["mask"]
+        if train and data_augmentation:
+            rng, k_aug = jax.random.split(rng)
+            inp, gt_norm_vel, gt_frames = augment_chunk(
+                k_aug, inp, gt_norm_vel, gt_frames, num_out_channels
+            )
+        pred_vel, pred_vision, updates = apply_for_loss(model, kind, params, inp, desvel, train, rng)
+        preds = [pred_vel, pred_vision if pred_vision is not None else jnp.zeros_like(gt_frames)]
+        gt_norms = [gt_norm_vel, gt_frames]
+        batch_loss, values = combined_loss(gt_norms, preds, mask, loss_weights, optional_loss_param)
+        return batch_loss, (jnp.stack(values), updates, pred_vel, pred_vision)
+
+    return forward_loss
+
+
+def spectral_updates(params: Params) -> Params:
+    """Power-iteration updates for every spectral-norm layer (train-forward parity)."""
+    out: Params = {}
+    for k in params:
+        if k.endswith(".weight_orig"):
+            base = k[: -len(".weight_orig")]
+            u, v = spectral_norm_power_iteration(
+                params[k], params[base + ".weight_u"], params[base + ".weight_v"]
+            )
+            out[base + ".weight_u"] = u
+            out[base + ".weight_v"] = v
+    return out
+
+
+def make_train_step(model, kind, optimizer, loss_weights, optional_loss_param,
+                    data_augmentation=False, num_out_channels=1):
+    """(params, opt_state, batch, rng) -> (params, opt_state, loss, values, gradnorm).
+
+    Pure function — jit (single chip) or jit-with-shardings (DP mesh) at the
+    call site.
+    """
+    forward_loss = make_forward_loss(
+        model, kind, loss_weights, optional_loss_param,
+        data_augmentation, num_out_channels, train=True,
+    )
+
+    def step(params, opt_state, batch, rng):
+        params = {**params, **spectral_updates(params)}
+        # differentiate only trainable float leaves: running stats /
+        # counters / spectral u,v are state, not weights (and ints break grad)
+        diff = {k: v for k, v in params.items() if is_trainable_key(k)}
+        nondiff = {k: v for k, v in params.items() if not is_trainable_key(k)}
+
+        def loss_fn(diff_params):
+            return forward_loss({**diff_params, **nondiff}, batch, rng)
+
+        (batch_loss, (values, updates, _pv, _pd)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(diff)
+        gradnorm = optax.global_norm(grads)
+        grads_full = {**{k: jnp.zeros_like(v) for k, v in nondiff.items()}, **grads}
+        opt_updates, opt_state = optimizer.update(grads_full, opt_state, params)
+        params = optax.apply_updates(params, opt_updates)
+        params = {**params, **updates}
+        return params, opt_state, batch_loss, values, gradnorm
+
+    return step
+
+
+def make_eval_step(model, kind, loss_weights, optional_loss_param, num_out_channels=1):
+    forward_loss = make_forward_loss(
+        model, kind, loss_weights, optional_loss_param,
+        data_augmentation=False, num_out_channels=num_out_channels, train=False,
+    )
+
+    def step(params, batch, rng):
+        batch_loss, (values, _updates, pred_vel, pred_vision) = forward_loss(params, batch, rng)
+        return batch_loss, values, pred_vel, pred_vision
+
+    return step

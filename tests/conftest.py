@@ -20,6 +20,14 @@ import sys
 import numpy as np
 import pytest
 
+# persistent XLA compilation cache: repeated test runs skip recompiles
+import jax
+
+_CACHE_DIR = "/tmp/jax_cache"
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
 

@@ -1,0 +1,245 @@
+"""Golden parity: evfly_tpu models vs the reference PyTorch models.
+
+The reference at /root/reference is imported (never copied) as the numerical
+oracle: build the torch model with a fixed seed, port its state_dict into our
+JAX param pytree, and compare outputs.  Contract: ≤1e-3 (BASELINE.md); these
+assertions are tighter (1e-4) since both sides run f32.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from evfly_tpu.models import port
+from evfly_tpu.models.composites import OrigUNet_w_VITFLY_ViTLSTM
+from evfly_tpu.models.origunet import OrigUNet
+from evfly_tpu.models import vitfly as jvitfly
+from evfly_tpu.models.common import torch_param_count
+
+from conftest import REFERENCE_ROOT, has_reference
+
+pytestmark = pytest.mark.reference
+
+TOL = 1e-4
+
+if has_reference():
+    sys.path.insert(0, str(REFERENCE_ROOT / "learner"))
+    import torch
+
+    import learner_models as ref_models  # noqa: E402
+    import vitfly_models as ref_vitfly  # noqa: E402
+
+
+def _port_sd(model):
+    return port.to_params({k: v.detach().numpy() for k, v in model.state_dict().items()})
+
+
+# --- config-file parameters used by every shipped config (configs/*.txt) ---
+ENC_PARAMS = {
+    "num_layers": 2,
+    "kernel_sizes": [5, 3],
+    "kernel_strides": [2, 2],
+    "out_channels": [8, 32],
+    "activations": ["relu", "relu"],
+    "pool_type": "max",
+    "invert_pool_inputs": True,
+    "pool_kernels": [2, 2],
+    "pool_strides": [2, 2],
+    "conv_function": "conv2d",
+}
+FC_PARAMS = {
+    "num_layers": 4,
+    "layer_sizes": [1024, 128, 16, 1],
+    "activations": ["leaky_relu", "leaky_relu", "leaky_relu", "tanh"],
+    "dropout_p": 0.1,
+}
+
+
+def _rand(shape, seed=0, scale=1.0):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+
+def _evs_like(shape, seed=0):
+    """Event-frame-like input: sparse, quantized by 0.2, clipped to ±1."""
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(shape).astype(np.float32)
+    x = np.where(np.abs(x) > 1.2, np.round(x / 0.2) * 0.2, 0.0)
+    return np.clip(x, -1.0, 1.0).astype(np.float32)
+
+
+@pytest.mark.parametrize("skip_type", ["interp", "crop"])
+def test_origunet_depth_parity(skip_type):
+    torch.manual_seed(0)
+    ref = ref_models.OrigUNet(
+        num_in_channels=2, num_out_channels=1, num_recurrent=[1, 0],
+        enc_params=ENC_PARAMS, fc_params=FC_PARAMS, velpred=0, form_BEV=2,
+        evs_min_cutoff=0.0, skip_type=skip_type, device="cpu", logger=lambda *_: None,
+    ).float().eval()
+    x = _evs_like((4, 1, 260, 346), seed=1)
+    with torch.no_grad():
+        _, (y_interp_t, y_upconv_t, (h_unet_t, _)) = ref([torch.from_numpy(x), None, None])
+
+    ours = OrigUNet(
+        num_in_channels=2, num_out_channels=1, num_recurrent=[1, 0],
+        enc_params=ENC_PARAMS, fc_params=FC_PARAMS, velpred=0, form_BEV=2,
+        evs_min_cutoff=0.0, skip_type=skip_type,
+    )
+    params = _port_sd(ref)
+    _, (y_interp, y_upconv, (h_unet, _)), _ = ours.apply(params, [jnp.array(x), None, None])
+
+    np.testing.assert_allclose(np.asarray(y_interp), y_interp_t.numpy(), atol=TOL)
+    np.testing.assert_allclose(np.asarray(y_upconv), y_upconv_t.numpy(), atol=TOL)
+    # ConvLSTM final hidden state parity (layer 0 h and c)
+    np.testing.assert_allclose(np.asarray(h_unet[0][0]), h_unet_t[0][0].numpy(), atol=TOL)
+    np.testing.assert_allclose(np.asarray(h_unet[0][1]), h_unet_t[0][1].numpy(), atol=TOL)
+
+
+def test_origunet_velpred11_parity():
+    torch.manual_seed(1)
+    ref = ref_models.OrigUNet(
+        num_in_channels=2, num_out_channels=1, num_recurrent=[1, 0],
+        enc_params=ENC_PARAMS, fc_params=FC_PARAMS, velpred=11, form_BEV=2,
+        evs_min_cutoff=0.0, skip_type="interp", device="cpu", logger=lambda *_: None,
+    ).float().eval()
+    x = _evs_like((3, 1, 260, 346), seed=2)
+    with torch.no_grad():
+        y_vel_t, (y_interp_t, _, _) = ref([torch.from_numpy(x), None, None])
+
+    ours = OrigUNet(
+        num_in_channels=2, num_out_channels=1, num_recurrent=[1, 0],
+        enc_params=ENC_PARAMS, fc_params=FC_PARAMS, velpred=11, form_BEV=2,
+        evs_min_cutoff=0.0, skip_type="interp",
+    )
+    params = _port_sd(ref)
+    y_vel, (y_interp, _, _), _ = ours.apply(params, [jnp.array(x), None, None])
+    np.testing.assert_allclose(np.asarray(y_vel), y_vel_t.numpy(), atol=TOL)
+    np.testing.assert_allclose(np.asarray(y_interp), y_interp_t.numpy(), atol=TOL)
+
+
+def test_origunet_hidden_state_carry_parity():
+    """Chunked streaming: carried ConvLSTM state must match torch chunk-by-chunk."""
+    torch.manual_seed(2)
+    ref = ref_models.OrigUNet(
+        num_in_channels=2, num_out_channels=1, num_recurrent=[1, 0],
+        enc_params=ENC_PARAMS, fc_params=FC_PARAMS, velpred=0, form_BEV=2,
+        evs_min_cutoff=0.0, skip_type="interp", device="cpu", logger=lambda *_: None,
+    ).float().eval()
+    ours = OrigUNet(
+        num_in_channels=2, num_out_channels=1, num_recurrent=[1, 0],
+        enc_params=ENC_PARAMS, fc_params=FC_PARAMS, velpred=0, form_BEV=2,
+        evs_min_cutoff=0.0, skip_type="interp",
+    )
+    params = _port_sd(ref)
+
+    h_t = None
+    h_j = None
+    for chunk_i in range(2):
+        x = _evs_like((2, 1, 260, 346), seed=10 + chunk_i)
+        with torch.no_grad():
+            _, (yi_t, _, (h_unet_t, _)) = ref([torch.from_numpy(x), None, (h_t, None)])
+        _, (yi_j, _, (h_unet_j, _)), _ = ours.apply(params, [jnp.array(x), None, (h_j, None)])
+        np.testing.assert_allclose(np.asarray(yi_j), yi_t.numpy(), atol=TOL)
+        # torch ConvLSTM returns last_state_list [[h, c]]; feed back as hidden
+        h_t = [[h_unet_t[0][0], h_unet_t[0][1]]]
+        h_j = [(h_unet_j[0][0], h_unet_j[0][1])]
+
+
+@pytest.mark.parametrize("name", ["ConvNet", "LSTMNet", "LSTMNetVIT", "ViT", "UNetConvLSTMNet"])
+def test_vitfly_parity(name):
+    torch.manual_seed(3)
+    ref = getattr(ref_vitfly, name)().float().eval()
+    ours = getattr(jvitfly, name)()
+    params = _port_sd(ref)
+
+    depth = np.clip(_rand((6, 1, 60, 90), seed=4, scale=0.3) + 0.5, 0, 1)
+    desvel = np.full((6, 1), 5.0, np.float32)
+    with torch.no_grad():
+        out_t, h_t = ref([torch.from_numpy(depth), torch.from_numpy(desvel), None, None])
+    out_j, h_j, _ = ours.apply(params, [jnp.array(depth), jnp.array(desvel), None, None])
+    # ViT's head is unbounded (outputs O(100)); allow relative error well inside 1e-3
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(), atol=TOL, rtol=2e-4)
+    if h_t is not None:
+        np.testing.assert_allclose(np.asarray(h_j[0]), h_t[0].numpy(), atol=TOL)
+        np.testing.assert_allclose(np.asarray(h_j[1]), h_t[1].numpy(), atol=TOL)
+
+
+@pytest.mark.parametrize(
+    "name,count",
+    [("ConvNet", 235269), ("LSTMNet", 2949937), ("LSTMNetVIT", 3563663),
+     ("ViT", 3101199), ("UNetConvLSTMNet", 2955822)],
+)
+def test_vitfly_param_counts(name, count):
+    """Known param counts from vitfly_models.py docstrings."""
+    import jax
+
+    ours = getattr(jvitfly, name)()
+    params = ours.init(jax.random.PRNGKey(0))
+    assert torch_param_count(params) == count
+
+
+def test_lstmnetvit_hidden_carry_parity():
+    torch.manual_seed(5)
+    ref = ref_vitfly.LSTMNetVIT().float().eval()
+    ours = jvitfly.LSTMNetVIT()
+    params = _port_sd(ref)
+
+    h_t, h_j = None, None
+    for chunk_i in range(3):
+        depth = np.clip(_rand((4, 1, 60, 90), seed=20 + chunk_i, scale=0.3) + 0.5, 0, 1)
+        desvel = np.full((4, 1), 3.0, np.float32)
+        with torch.no_grad():
+            out_t, h_t = ref([torch.from_numpy(depth), torch.from_numpy(desvel), None, h_t])
+        out_j, h_j, _ = ours.apply(params, [jnp.array(depth), jnp.array(desvel), None, h_j])
+        # carried f32 state accumulates rounding noise across chunks (measured
+        # ~1e-4); assert within the 1e-3 contract rather than single-shot TOL
+        np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(), atol=5e-4)
+
+
+def test_joint_model_parity():
+    """OrigUNet_w_VITFLY_ViTLSTM: the flagship deployed model."""
+    torch.manual_seed(6)
+    ref = ref_models.OrigUNet_w_VITFLY_ViTLSTM(
+        num_in_channels=2, num_out_channels=1, num_recurrent=[1, 0],
+        enc_params=ENC_PARAMS, fc_params=FC_PARAMS, velpred=0, form_BEV=2,
+        evs_min_cutoff=0.0, skip_type="interp", device="cpu", logger=lambda *_: None,
+    ).float().eval()
+    ours = OrigUNet_w_VITFLY_ViTLSTM(
+        num_in_channels=2, num_out_channels=1, num_recurrent=[1, 0],
+        enc_params=ENC_PARAMS, fc_params=FC_PARAMS, velpred=0, form_BEV=2,
+        evs_min_cutoff=0.0, skip_type="interp",
+    )
+    params = _port_sd(ref)
+
+    x = _evs_like((3, 1, 260, 346), seed=7)
+    desvel = np.full((3, 1), 4.0, np.float32)
+    with torch.no_grad():
+        vel_t, (depth_t, upconv_t, ((h_unet_t, _), h_vit_t)) = ref(
+            [torch.from_numpy(x), torch.from_numpy(desvel), [None, None], None]
+        )
+    vel_j, (depth_j, upconv_j, ((h_unet_j, _), h_vit_j)), _ = ours.apply(
+        params, [jnp.array(x), jnp.array(desvel), (None, None), None]
+    )
+    np.testing.assert_allclose(np.asarray(vel_j), vel_t.numpy(), atol=TOL)
+    np.testing.assert_allclose(np.asarray(depth_j), depth_t.numpy(), atol=TOL)
+    np.testing.assert_allclose(np.asarray(upconv_j), upconv_t.numpy(), atol=TOL)
+    np.testing.assert_allclose(np.asarray(h_vit_j[0]), h_vit_t[0].numpy(), atol=TOL)
+
+
+def test_state_dict_roundtrip(tmp_path):
+    """Our params save to .pth and reload bit-identically (checkpoint contract)."""
+    import jax
+
+    ours = jvitfly.ConvNet()
+    params = ours.init(jax.random.PRNGKey(1))
+    path = str(tmp_path / "model_ep000005.pth")
+    port.save_state_dict(params, path)
+    sd = port.load_state_dict(path)
+    re = port.to_params(sd)
+    assert set(re) == set(params)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(re[k]), np.asarray(params[k]))
+    assert port.parse_epoch_from_path(path) == 5
