@@ -29,6 +29,7 @@ def main():
 
     from evfly_tpu.models.vitfly import LSTMNetVIT
     from evfly_tpu.ops.imageops import interpolate_bilinear
+    from evfly_tpu.ops.percentile import approx_abs_quantile
     from evfly_tpu.ops.voxelizer import event_histogram
 
     H, W = 260, 346
@@ -47,22 +48,24 @@ def main():
     @jax.jit
     def step(params, ex, ey, ep, desvel):
         frames = jax.vmap(lambda x, y, p: event_histogram(x, y, p, H, W))(ex, ey, ep)
-        q = jnp.quantile(jnp.abs(frames).reshape(N_WINDOWS, -1), 0.97, axis=1)
+        # bisection percentile: jnp.quantile's sort costs more than the model
+        q = approx_abs_quantile(frames, 0.97)
         q = jnp.where(q > 0, q, 1.0)
         frames = jnp.clip(frames / q[:, None, None], -1.0, 1.0)
         small = interpolate_bilinear(frames[:, None], (60, 90))
         vel, _h, _u = model.apply(params, [small, desvel, None, None])
         return vel
 
-    # compile + warmup
-    out = step(params, ex, ey, ep, desvel)
-    jax.block_until_ready(out)
+    # compile + warmup.  NOTE: on the axon tunnel block_until_ready does not
+    # synchronize; jax.device_get is the only true sync (~30 ms RPC floor),
+    # so we chain n_iters dependent steps per sync to amortize it.
+    out = jax.device_get(step(params, ex, ey, ep, desvel))
 
-    n_iters = 10
+    n_iters = 50
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = step(params, ex, ey, ep, desvel)
-    jax.block_until_ready(out)
+    _ = jax.device_get(out)
     dt = time.perf_counter() - t0
 
     windows_per_sec = N_WINDOWS * n_iters / dt

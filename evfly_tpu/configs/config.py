@@ -41,7 +41,10 @@ def _parse_value(raw: str, typ, nargs: bool):
         return vals
     raw = raw.strip("'\"")
     if nargs:
-        if raw == "" or raw.lower() == "none":
+        if raw == "":
+            # e.g. ``checkpoint_path = ''`` -> [''] (appended empty value)
+            return [""] if typ is str else None
+        if raw.lower() == "none":
             return None
         # space-separated multi-token values also allowed
         toks = raw.split()

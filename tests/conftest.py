@@ -23,6 +23,10 @@ import pytest
 # persistent XLA compilation cache: repeated test runs skip recompiles
 import jax
 
+# a pytest entry-point plugin imports jax before this conftest runs, so the
+# env var alone is too late; jax.config still works until a backend is used
+jax.config.update("jax_platforms", "cpu")
+
 _CACHE_DIR = "/tmp/jax_cache"
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

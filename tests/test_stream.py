@@ -37,7 +37,7 @@ def test_frame_from_accumulated_scaling_and_crop():
     u8[240, 320] = 131
     ev = frame_from_accumulated(u8)
     assert ev.shape == (260, 346)
-    assert ev[130, 147] == pytest.approx(0.6)  # (131-128)*0.2 at crop center
+    assert ev[130, 173] == pytest.approx(0.6)  # (131-128)*0.2 maps to crop (130,173)
     assert np.count_nonzero(ev) == 1
 
 
