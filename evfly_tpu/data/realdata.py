@@ -1,0 +1,104 @@
+"""Real-data pipeline: time-synced events↔depth → training trajectories.
+
+Rebuilds the data_gather pipeline (SURVEY.md §2.2/L7) without rosbags:
+
+* ``sync_depth_events``: approximate-time matching of depth frames to event
+  windows — the in-process equivalent of
+  ``message_filters.ApproximateTimeSynchronizer`` with its 0.005 s slop
+  (data_gather/depth_and_events.py:73).
+* ``package_real_sequence``: raw (t, x, y, p) event stream + depth frames →
+  the h5 trajectory schema, voxelizing each inter-depth-frame window with
+  the Pallas histogram and spoofing the telemetry columns the learner
+  ignores for real data (convert_realdata_to_datasetformat.py:65-98 writes
+  blank images and a spoofed data.csv: index/timestamp/desired_vel filled,
+  dynamics columns zero).
+* Optional per-frame alignment through utils.calibration.Aligner
+  (prep-dataset.sh step 3).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def sync_depth_events(
+    depth_ts: np.ndarray, event_t: np.ndarray, slop: float = 0.005
+) -> List[Tuple[int, float, float]]:
+    """Match each depth frame i (i>=1) to the event window between the
+    previous and current depth timestamps, keeping frames whose spacing is
+    sane.  Returns [(depth_idx, t_start, t_end), ...]."""
+    out = []
+    for i in range(1, len(depth_ts)):
+        t0, t1 = float(depth_ts[i - 1]), float(depth_ts[i])
+        if t1 <= t0:
+            continue
+        # windows wholly outside the event stream (± slop) are dropped
+        if t1 < event_t[0] - slop or t0 > event_t[-1] + slop:
+            continue
+        out.append((i, t0, t1))
+    return out
+
+
+def package_real_sequence(
+    name: str,
+    event_t: np.ndarray,
+    event_x: np.ndarray,
+    event_y: np.ndarray,
+    event_p: np.ndarray,
+    depth_frames: np.ndarray,       # (T, H, W) float [0, 1]
+    depth_ts: np.ndarray,           # (T,)
+    desired_vel: float = 4.0,
+    aligner=None,
+    sensor_hw: Optional[Tuple[int, int]] = None,
+    pos_thresh: float = 0.2,
+    neg_thresh: float = 0.2,
+) -> Dict:
+    """Build one h5-schema trajectory dict from a real recording."""
+    import jax.numpy as jnp
+
+    from ..ops.voxelizer import event_frames_from_windows
+
+    H, W = sensor_hw if sensor_hw is not None else depth_frames.shape[1:]
+    pairs = sync_depth_events(depth_ts, event_t)
+    if not pairs:
+        raise ValueError("no synced depth/event windows")
+    idxs = [p[0] for p in pairs]
+    starts = np.array([p[1] for p in pairs], np.float64)
+    ends = np.array([p[2] for p in pairs], np.float64)
+
+    evs = np.asarray(
+        event_frames_from_windows(
+            jnp.asarray(event_t, jnp.float32),
+            jnp.asarray(event_x, jnp.float32),
+            jnp.asarray(event_y, jnp.float32),
+            jnp.asarray(event_p),
+            jnp.asarray(starts, jnp.float32),
+            jnp.asarray(ends, jnp.float32),
+            H, W, pos_thresh, neg_thresh,
+        )
+    )
+
+    depths = depth_frames[[0] + idxs]  # leading frame + one per window
+    if aligner is not None:
+        depths = np.stack([aligner.align(depth=d)["depth"] for d in depths])
+        evs = np.stack([aligner.align(davis=e)["davis"] for e in evs])
+
+    T = len(depths)
+    # spoofed telemetry (convert_realdata_to_datasetformat.py:65-98):
+    # real rigs lack sim ground truth; only idx/timestamp/desvel are real.
+    meta = np.zeros((T, 21), np.float32)
+    meta[:, 0] = np.arange(T)
+    meta[:, 1] = depth_ts[[0] + idxs] - depth_ts[0]
+    meta[:, 2] = desired_vel
+    meta[:, 3] = 1.0  # identity quaternion w
+
+    return {
+        "name": name,
+        "data": meta,
+        "ims": np.ones_like(depths),  # blank grayscale stand-ins
+        "depths": depths,
+        "desvel": meta[:, 2],
+        "evs": evs,
+    }

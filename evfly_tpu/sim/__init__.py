@@ -3,6 +3,8 @@ from .expert import expert_velocity_command
 from .dynamics import QuadState, VelocityTrackingQuad
 from .evaluator import TrialEvaluator
 from .closed_loop import run_trial, rollout_to_trajectory
+from .launch_evaluation import run_evaluation
+from .vision_env import EnvParams, VecVisionEnv
 
 __all__ = [
     "ObstacleField",
@@ -15,4 +17,7 @@ __all__ = [
     "TrialEvaluator",
     "run_trial",
     "rollout_to_trajectory",
+    "run_evaluation",
+    "EnvParams",
+    "VecVisionEnv",
 ]

@@ -178,3 +178,41 @@ def visualize_images(learner, checkpoint_path, load_ckpt: bool = False, dataSets
         paths.append(out)
         learner.mylogger(f"[EVAL_TOOLS] {mode} traj output idx {traj_i} has {len(frames)} frames")
     return paths
+
+
+def main():
+    """CLI parity with ``python learner/evaluation_tools.py --config ...``
+    (evaluation_tools.py:269-323)."""
+    from ..configs import argparsing
+    from .learner import Learner
+
+    args = argparsing()
+    learner = Learner(args)
+    checkpoint_paths = args.checkpoint_path
+    if not isinstance(checkpoint_paths, list):
+        checkpoint_paths = [checkpoint_paths]
+
+    import os
+    import time
+
+    if not learner.combine_checkpoints:
+        for cp in checkpoint_paths:
+            print(f"[EVAL_TOOLS] Evaluating {cp}...")
+            st = time.time()
+            fig, title = eval_plotter(learner, cp)
+            fig.savefig(
+                opj(learner.workspace, f"eval_{os.path.basename(learner.workspace)}__{title}.png")
+            )
+            learner.mylogger(f"[EVAL_TOOLS] eval_plotter finished {title} in {time.time() - st:.2f} s")
+            visualize_images(learner, cp, load_ckpt=True)
+    else:
+        print(f"[EVAL_TOOLS] Evaluating combination checkpoints model from {checkpoint_paths}...")
+        fig, title = eval_plotter(learner, checkpoint_paths, load_ckpt=False)
+        fig.savefig(
+            opj(learner.workspace, f"eval_{os.path.basename(learner.workspace)}__{title}.png")
+        )
+        visualize_images(learner, checkpoint_paths, load_ckpt=False)
+
+
+if __name__ == "__main__":
+    main()
