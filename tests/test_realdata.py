@@ -23,7 +23,9 @@ def test_package_real_sequence(rng):
     ev_t = np.sort(rng.uniform(0, depth_ts[-1], n_ev)).astype(np.float32)
     ev_x = rng.uniform(0, W, n_ev).astype(np.float32)
     ev_y = rng.uniform(0, H, n_ev).astype(np.float32)
-    ev_p = rng.choice([-1, 1], n_ev).astype(np.int32)
+    # all-positive polarity so net-count conservation holds (mixed polarities
+    # cancel per pixel within a window by design)
+    ev_p = np.ones(n_ev, np.int32)
 
     traj = package_real_sequence(
         "real_000", ev_t, ev_x, ev_y, ev_p, depth, depth_ts, desired_vel=4.0

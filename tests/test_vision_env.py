@@ -61,7 +61,9 @@ def test_collision_penalty_near_obstacle(params):
 
 
 def test_step_terminates_outside_box(params):
-    state = reset(params, jax.random.PRNGKey(0))._replace(pos=jnp.array([64.5, 0.0, 2.0]))
+    state = reset(params, jax.random.PRNGKey(0))._replace(
+        pos=jnp.array([64.95, 0.0, 2.0]), vel=jnp.array([5.0, 0.0, 0.0])
+    )
     new_state, _obs, reward, done = step(params, state, jnp.array([5.0, 0.0, 0.0]))
     assert bool(done)
     assert reward == pytest.approx(-1.0)
@@ -70,10 +72,12 @@ def test_step_terminates_outside_box(params):
 def test_vectorized_env_steps(params):
     env = VecVisionEnv(params, num_envs=16)
     states, obs = env.reset(jax.random.PRNGKey(0))
+    x0 = np.asarray(states.pos[:, 0]).copy()
     assert obs.shape == (16, OBS_DIM)
     actions = jnp.tile(jnp.array([[4.0, 0.0, 0.0]]), (16, 1))
     for _ in range(5):
         states, obs, rewards, dones = env.step(states, actions)
     assert obs.shape == (16, OBS_DIM)
     assert rewards.shape == (16,)
-    assert np.asarray(states.pos[:, 0]).mean() > 0.05  # envs moved forward
+    dx = np.asarray(states.pos[:, 0]) - x0
+    assert (dx > 0.01).all()  # every env accelerated forward
