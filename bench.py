@@ -28,9 +28,13 @@ def main():
     import jax.numpy as jnp
 
     from evfly_tpu.models.vitfly import LSTMNetVIT
-    from evfly_tpu.ops.imageops import interpolate_bilinear
+    from evfly_tpu.ops.imageops import interpolate_bilinear, set_precision
     from evfly_tpu.ops.percentile import approx_abs_quantile
     from evfly_tpu.ops.voxelizer import event_histogram
+
+    # serving configuration: single-pass bf16 MXU (the 1e-3 torch-parity
+    # contract is a separate mode — see ops.imageops.set_precision)
+    set_precision("default")
 
     H, W = 260, 346
     N_EVENTS = 5000          # events per window

@@ -38,8 +38,25 @@ def _pair(v) -> Tuple[int, int]:
 
 # TPU matmul/conv units default to bf16 inputs; the 1e-3 PyTorch-parity
 # contract requires full f32 ("highest") precision on the parity path.
-# Perf-oriented callers may flip this to lax.Precision.DEFAULT.
+# Perf-oriented callers (training from scratch, throughput benchmarks) may
+# flip to DEFAULT (single-pass bf16) via set_precision().
 PRECISION = lax.Precision.HIGHEST
+
+
+def set_precision(mode: str) -> None:
+    """Set the global matmul/conv precision: 'highest' (parity) or 'default'.
+
+    'default' uses single-pass bf16 MXU ops — ~3-6x faster on TPU, outside
+    the 1e-3 parity contract; use for from-scratch training and serving
+    where bit-parity with the torch reference is not required.
+    """
+    global PRECISION
+    PRECISION = {
+        "highest": lax.Precision.HIGHEST,
+        "float32": lax.Precision.HIGHEST,
+        "default": lax.Precision.DEFAULT,
+        "bfloat16": lax.Precision.DEFAULT,
+    }[mode.lower()]
 
 
 # ---------------------------------------------------------------------------

@@ -107,6 +107,10 @@ def run_trial(
 
             vel, _depth_pred = policy.step_frame(jnp2.asarray(events_np))
             vel_cmd = np.asarray(vel, float)
+            # the z output is unsupervised during training (the loss zeroes
+            # it, learner.py:1065,1074); deployment replaces it with an
+            # altitude-hold P-controller (run.py:303: 1.5 * (des_z - z))
+            vel_cmd[2] = 1.5 * (2.0 - s.pos[2])
             # manual acceleration phase (run_competition.py:579-583)
             if s.pos[0] < 2.0:
                 vel_cmd[0] = max(1.0, (s.pos[0] / 2.0) * desired_vel)

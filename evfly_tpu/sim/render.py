@@ -65,17 +65,41 @@ def render_depth_intensity(
         return jnp.where(valid, t, jnp.inf)
 
     ts = jax.vmap(hit_one)(rel, radii)           # (K, H, W)
-    t_min = jnp.min(ts, axis=0)
+    t_obj = jnp.min(ts, axis=0)
     hit_idx = jnp.argmin(ts, axis=0)
+
+    # ground plane z = 0 with procedural texture: dense difflog events under
+    # ego-motion, like the textured terrain in the reference's Unity scenes
+    dz = dirs[..., 2]
+    t_ground = jnp.where(dz < -1e-5, -cam_pos[2] / dz, jnp.inf)
+    t_min = jnp.minimum(t_obj, t_ground)
+    ground_hit = t_ground < t_obj
 
     # metric axial depth (distance along camera axis = t * dir_x)
     axial = t_min * dirs[..., 0]
     depth = jnp.clip(jnp.where(jnp.isfinite(axial), axial, max_depth) / max_depth, 0.0, 1.0)
 
-    # per-obstacle albedo + depth attenuation for the intensity image
+    # per-obstacle albedo + hard stripe texture: difflog only fires on edges
+    # crossing its ±0.2 log threshold, so textures must be high-contrast steps
     albedo = 0.25 + 0.35 * (jnp.sin(jnp.arange(centers.shape[0]) * 2.399) * 0.5 + 0.5)
-    obj_int = albedo[hit_idx] * jnp.exp(-jnp.clip(axial, 0, max_depth) / (2.0 * max_depth))
-    intensity = jnp.where(jnp.isfinite(t_min) & (t_min < max_depth * 2), obj_int, 0.85)
+    hit_z = cam_pos[2] + t_obj * dirs[..., 2]
+    stripe = (jnp.sin(6.0 * hit_z) > 0).astype(jnp.float32)
+    obj_int = albedo[hit_idx] * (0.55 + 0.45 * stripe) * jnp.exp(
+        -jnp.clip(t_obj * dirs[..., 0], 0, max_depth) / (2.0 * max_depth)
+    )
+    # ground: world-anchored checker — sweeping edges fire dense events
+    gx = cam_pos[0] + t_ground * dirs[..., 0]
+    gy = cam_pos[1] + t_ground * dirs[..., 1]
+    checker = ((jnp.sin(4.2 * gx) * jnp.sin(3.4 * gy)) > 0).astype(jnp.float32)
+    ground_int = (0.28 + 0.42 * checker) * jnp.exp(
+        -jnp.clip(t_ground, 0, 4 * max_depth) / (4.0 * max_depth)
+    )
+
+    intensity = jnp.where(
+        jnp.isfinite(t_min),
+        jnp.where(ground_hit, ground_int, obj_int),
+        0.85,
+    )
     return depth, intensity
 
 

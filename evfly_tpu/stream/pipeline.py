@@ -21,9 +21,18 @@ from ..models.common import Params
 from ..ops.voxelizer import event_histogram
 
 
-def _quantile_scale(frame: jnp.ndarray, do_events: bool = True) -> jnp.ndarray:
-    """clip(frame / quantile(|frame|, 0.97), ±1) — run.py:250-253."""
-    q = jnp.quantile(jnp.abs(frame), 0.97)
+def _quantile_scale(frame: jnp.ndarray, do_events: bool = True, fast: bool = False) -> jnp.ndarray:
+    """clip(frame / quantile(|frame|, 0.97), ±1) — run.py:250-253.
+
+    fast=True uses the bisection percentile (ops/percentile.py) instead of
+    the sort — recommended for serving; the exact sort is the parity path.
+    """
+    if fast:
+        from ..ops.percentile import approx_abs_quantile
+
+        q = approx_abs_quantile(frame[None], 0.97)[0]
+    else:
+        q = jnp.quantile(jnp.abs(frame), 0.97)
     q = jnp.where(q > 0, q, 1.0)
     lo = -1.0 if do_events else 0.0
     return jnp.clip(frame / q, lo, 1.0)
@@ -44,18 +53,20 @@ class StreamingPipeline:
         desvel: float = 4.0,
         input_hw: Tuple[int, int] = (260, 346),
         quantile_scale: bool = True,
+        fast_percentile: bool = False,
     ):
         self.model = model
         self.params = params
         self.desvel = desvel
         self.input_hw = input_hw
         self.quantile_scale = quantile_scale
+        self.fast_percentile = fast_percentile
         self.hidden = model.init_hidden()
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def _step(params, frame, hidden, desvel_arr):
             if self.quantile_scale:
-                frame = _quantile_scale(frame)
+                frame = _quantile_scale(frame, fast=self.fast_percentile)
             x = frame.reshape(1, 1, *self.input_hw)
             vel, (depth, _upconv, new_hidden), _updates = model.apply(
                 params, [x, desvel_arr, hidden[0], hidden[1]], train=False
@@ -70,7 +81,7 @@ class StreamingPipeline:
         def _step_events(params, ex, ey, ep, hidden, desvel_arr):
             frame = event_histogram(ex, ey, ep, H, W)
             if self.quantile_scale:
-                frame = _quantile_scale(frame)
+                frame = _quantile_scale(frame, fast=self.fast_percentile)
             x = frame.reshape(1, 1, H, W)
             vel, (depth, _upconv, new_hidden), _updates = model.apply(
                 params, [x, desvel_arr, hidden[0], hidden[1]], train=False

@@ -405,7 +405,9 @@ class Learner:
         T = int(traj_lengths[it]) - 1
         ids = np.arange(traj_starts[it] + 1, traj_starts[it] + traj_lengths[it])
         B = batch_size if batch_size > 0 else len(ids)
-        B_max = self._chunk_B(mode) if batch_size > 0 else self._max_tlen(mode)
+        # pad every chunk to a stable size so the step compiles once; callers
+        # passing a larger ad-hoc batch_size still get a valid padding target
+        B_max = max(B, self._chunk_B(mode)) if batch_size > 0 else self._max_tlen(mode)
         chunk_sets = [ids[i : i + B] for i in range(0, len(ids), B)]
 
         if c.num_in_channels == 1:

@@ -4,6 +4,14 @@ Encapsulates the reference's per-model-type dispatch (learner.py:1047-1083)
 — which outputs feed which loss term, which models zero the z velocity —
 plus spectral-norm power iteration and batch-norm state threading, as pure
 functions of (params, batch, rng) suitable for jit/pjit.
+
+Known, accepted padding interaction: the loss is exactly masked, and all
+recurrence is causal so padded chunk tails never contaminate real frames —
+but train-mode BatchNorm statistics (vitfly-family models only; the
+OrigUNet/joint configs have no BN on the training path) include padded
+zero frames of a trajectory's final chunk.  The effect is bounded by
+(pad fraction of one chunk)/(chunks per trajectory) and vanishes for
+trajectories longer than a few chunks.
 """
 
 from __future__ import annotations

@@ -108,3 +108,25 @@ def test_expert_closed_loop_reaches_goal(rng):
     result = run_trial(field, mode="state", desired_vel=4.0, log_images=False, max_steps=6000)
     assert result["summary"].get("Success", False), result["summary"]
     assert result["log"].shape[1] == 21  # reference data.csv layout
+
+
+@pytest.mark.slow
+def test_run_evaluation_driver(tmp_path, rng):
+    """launch_evaluation parity: N trials, artifacts, evaluation.yaml."""
+    import os
+
+    from evfly_tpu.sim.launch_evaluation import run_evaluation
+
+    out = str(tmp_path / "evalout")
+    summaries = run_evaluation(
+        2, mode="state", out_dir=out, seed=1, num_obstacles=8,
+        max_steps=1500, make_plots=False,
+    )
+    assert set(summaries) == {"rollout_000", "rollout_001"}
+    for name in summaries:
+        d = os.path.join(out, name)
+        assert os.path.exists(os.path.join(d, "static_obstacles.csv"))
+        assert os.path.exists(os.path.join(d, "path.csv"))
+        assert os.path.exists(os.path.join(d, "dist.csv"))
+        assert os.path.exists(os.path.join(d, "scalarMetrics.dat"))
+    assert os.path.exists(os.path.join(out, "evaluation.yaml"))
