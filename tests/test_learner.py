@@ -111,3 +111,67 @@ def test_learner_checkpoint_resume_and_trainval_restore(tmp_path, rng):
     learner2 = Learner(cfg2)
     assert learner2.train.dirs == dirs_before  # split restored from npy
     assert learner2.num_eps_trained == int(os.path.basename(ckpts[-1])[-10:-4])
+
+
+@pytest.mark.slow
+def test_learner_combine_checkpoints(tmp_path, rng):
+    """D(θ)+V(φ) merge under origunet./vitfly_vitlstm. prefixes (learner.py:435-494)."""
+    import jax
+
+    from evfly_tpu.models import port
+    from evfly_tpu.models.origunet import OrigUNet
+    from evfly_tpu.models.vitfly import LSTMNetVIT
+
+    enc = {
+        "num_layers": 2, "kernel_sizes": [5, 3], "kernel_strides": [2, 2],
+        "out_channels": [8, 32], "activations": ["relu", "relu"],
+        "pool_type": "max", "invert_pool_inputs": True,
+        "pool_kernels": [2, 2], "pool_strides": [2, 2], "conv_function": "conv2d",
+    }
+    fc = {
+        "num_layers": 4, "layer_sizes": [1024, 128, 16, 1],
+        "activations": ["leaky_relu", "leaky_relu", "leaky_relu", "tanh"],
+        "dropout_p": 0.1,
+    }
+    # save standalone D(θ) and V(φ) checkpoints
+    unet = OrigUNet(num_in_channels=2, num_out_channels=1, num_recurrent=[1, 0],
+                    enc_params=enc, fc_params=fc, velpred=0, form_BEV=2,
+                    evs_min_cutoff=0.0, skip_type="interp",
+                    input_shape=[1, 1, 260, 346])
+    vit = LSTMNetVIT()
+    p_unet = unet.init(jax.random.PRNGKey(1))
+    p_vit = vit.init(jax.random.PRNGKey(2))
+    cp0 = str(tmp_path / "Dtheta.pth")
+    cp1 = str(tmp_path / "Vphi.pth")
+    port.save_state_dict(p_unet, cp0)
+    port.save_state_dict(p_vit, cp1)
+
+    data_path = _toy_dataset(tmp_path, rng, H=260, W=346, T=4, n_traj=2)
+    cfg = _base_config(
+        tmp_path, data_path,
+        model_type=["OrigUNet", "VITFLY_ViTLSTM"],
+        checkpoint_path=[cp0, cp1],
+        combine_checkpoints=True,
+        load_trainval=False,
+        num_recurrent=[1, 0],
+        bev=2,
+        skip_type="interp",
+        resize_input=[260, 346],
+        enc_num_layers=2, enc_kernel_sizes=[5, 3], enc_kernel_strides=[2, 2],
+        enc_out_channels=[8, 32], enc_activations=["relu", "relu"],
+        enc_pool_type="max", enc_invert_pool_inputs=True,
+        enc_pool_kernels=[2, 2], enc_pool_strides=[2, 2],
+        fc_num_layers=4, fc_layer_sizes=[1024, 128, 16, 1],
+        fc_activations=["leaky_relu", "leaky_relu", "leaky_relu", "tanh"],
+        N_eps=0,
+    )
+    learner = Learner(cfg)
+    # merged weights landed under the composite prefixes
+    np.testing.assert_array_equal(
+        np.asarray(learner.params["origunet.unet_e11.weight"]),
+        np.asarray(p_unet["unet_e11.weight"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(learner.params["vitfly_vitlstm.decoder.weight_orig"]),
+        np.asarray(p_vit["decoder.weight_orig"]),
+    )
