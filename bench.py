@@ -51,7 +51,9 @@ def main():
 
     @jax.jit
     def step(params, ex, ey, ep, desvel):
-        frames = jax.vmap(lambda x, y, p: event_histogram(x, y, p, H, W))(ex, ey, ep)
+        # chunk 640 (5 MXU lanes-width) -> 5120-event grid step: 98% utilization
+        # at 5k events/window vs 64% with the 4096 default
+        frames = jax.vmap(lambda x, y, p: event_histogram(x, y, p, H, W, chunk=640))(ex, ey, ep)
         # bisection percentile: jnp.quantile's sort costs more than the model
         q = approx_abs_quantile(frames, 0.97)
         q = jnp.where(q > 0, q, 1.0)

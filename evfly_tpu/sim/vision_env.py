@@ -70,13 +70,21 @@ def reset(params: EnvParams, key: jax.Array) -> EnvState:
 
 
 def _obstacle_obs(params: EnvParams, pos: jnp.ndarray):
-    rel = params.obstacle_pos - pos[None, :]
+    # pad to kNObstacles with far-away zero-radius dummies so the obs block
+    # is always 10×4 (vision_env.cpp pads missing obstacles the same way)
+    k = params.obstacle_pos.shape[0]
+    pad = max(N_OBSTACLES - k, 0)
+    centers = jnp.concatenate(
+        [params.obstacle_pos, jnp.full((pad, 3), 1e6, params.obstacle_pos.dtype)]
+    )
+    radii = jnp.concatenate([params.obstacle_radius, jnp.zeros((pad,), params.obstacle_radius.dtype)])
+    rel = centers - pos[None, :]
     dist = jnp.linalg.norm(rel, axis=1)
     dist_clamped = jnp.minimum(dist, params.max_detection_range)
     order = jnp.argsort(dist)
     take = order[:N_OBSTACLES]
     rel_n = rel[take]
-    rad_n = params.obstacle_radius[take]
+    rad_n = radii[take]
     obst = jnp.concatenate([rel_n, rad_n[:, None]], axis=1).reshape(-1)
     return obst, dist_clamped[take], rad_n
 

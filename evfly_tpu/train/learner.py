@@ -207,6 +207,7 @@ class Learner:
             self._build_optimizer()
             self.load_from_checkpoint(self.checkpoint_path)
             self._step_cache: Dict[Any, Any] = {}
+            self._device_data: Dict[Any, Any] = {}
             self._rng = jax.random.PRNGKey(0 if c.seed is None or c.seed < 0 else c.seed)
 
         self.total_its = self.num_eps_trained * self.num_training_steps
@@ -349,12 +350,64 @@ class Learner:
     def _kind(self) -> str:
         return _model_kind(self.model_type)
 
-    def _get_step(self, mode: str):
-        from .stepfn import make_eval_step, make_train_step
+    # cap for keeping the whole split resident on device (HBM is 16 GB on
+    # v5e; leave room for params/activations).  Above the cap we fall back
+    # to per-chunk host transfers.
+    DEVICE_DATA_MAX_BYTES = 10 * 1024**3
 
-        key = (mode,)
+    def _get_device_data(self, mode: str, B: int):
+        """Device-resident split arrays (padded by B frames) + evs offsets.
+
+        Chunks are then gathered ON DEVICE inside the jitted step
+        (stepfn.make_batch_slicer) — no per-chunk host→device transfers
+        (throughput + axon transfer-leak workaround).  Returns None when the
+        split exceeds DEVICE_DATA_MAX_BYTES.
+        """
+        key = (mode, B)
+        if key in self._device_data:
+            return self._device_data[key]
+        split = self.train if mode == "train" else self.val
+        H, W = split.ims.shape[-2], split.ims.shape[-1]
+        nbytes = split.depths.nbytes + (
+            sum(ev.nbytes for ev in split.evs) if split.evs is not None else 0
+        )
+        if nbytes > self.DEVICE_DATA_MAX_BYTES:
+            self._device_data[key] = None
+            return None
+        pad_f = np.zeros((B, H, W), np.float32)
+        data = {
+            "depths": np.concatenate([split.depths, pad_f]),
+            "desvel": np.concatenate([split.desvel, np.ones(B, np.float32)]),
+            "velcmd": np.concatenate([split.velcmd, np.zeros((B, 3), np.float32)]),
+        }
+        if split.evs is not None:
+            ev_lens = np.array([ev.shape[0] for ev in split.evs])
+            ev_offsets = np.cumsum(ev_lens) - ev_lens
+            data["evs"] = np.concatenate(list(split.evs) + [pad_f])
+        else:
+            ev_offsets = np.zeros(len(split.trajlength), np.int64)
+            data["evs"] = pad_f  # placeholder, unused
+        # frames live on device in bf16 (halves HBM; the batch slicer casts
+        # chunks back to f32); scalars stay f32
+        dev = {
+            k: jnp.asarray(v, jnp.bfloat16 if k in ("depths", "evs") else jnp.float32)
+            for k, v in data.items()
+        }
+        out = (dev, ev_offsets)
+        self._device_data[key] = out
+        return out
+
+    def _get_step(self, mode: str, indexed: bool = False, B: int = 0):
+        from .stepfn import make_batch_slicer, make_eval_step, make_train_step
+
+        key = (mode, indexed, B)
         if key in self._step_cache:
             return self._step_cache[key]
+        batch_fn = (
+            make_batch_slicer(B, self.cfg.num_in_channels, self.cfg.num_out_channels)
+            if indexed
+            else None
+        )
         if mode == "train":
             step = jax.jit(
                 make_train_step(
@@ -362,6 +415,7 @@ class Learner:
                     self.loss_weights, self.optional_loss_param,
                     data_augmentation=self.cfg.data_augmentation != 0.0,
                     num_out_channels=self.cfg.num_out_channels,
+                    batch_fn=batch_fn,
                 )
             )
         else:
@@ -369,6 +423,7 @@ class Learner:
                 make_eval_step(
                     self.model, self._kind(), self.loss_weights, self.optional_loss_param,
                     num_out_channels=self.cfg.num_out_channels,
+                    batch_fn=batch_fn,
                 )
             )
         self._step_cache[key] = step
@@ -427,48 +482,75 @@ class Learner:
             np.zeros_like(preds_vision_full),
         )
 
-        step = self._get_step(mode if (mode == "train" and do_step) else "eval")
+        step_mode = mode if (mode == "train" and do_step) else "eval"
+        dd = self._get_device_data(mode, B_max)
+        use_indexed = dd is not None
+        step = self._get_step(step_mode, indexed=use_indexed, B=B_max)
+        if use_indexed:
+            device_data, ev_offsets = dd
 
         for batch_ids in chunk_sets:
             n_valid = len(batch_ids)
             local = batch_ids - 1 - traj_starts[it]
-            if c.num_in_channels == 2:
-                inp = self._chunk_padded(split.evs[traj_ids[it]], local, B_max)[:, None]
-            else:
-                inp = self._chunk_padded(input_src, batch_ids, B_max)[:, None]
-            if c.num_out_channels == 2:
-                gt_frames = self._chunk_padded(split.evs[traj_ids[it]], local, B_max)[:, None]
-            else:
-                gt_frames = self._chunk_padded(gt_src, batch_ids, B_max)[:, None]
-            desvel = self._chunk_padded(split.desvel, batch_ids, B_max)[:, None]
-            # guard padded desvel against div-by-zero in gt normalization
-            desvel[n_valid:] = 1.0
-            gt_vel = self._chunk_padded(split.velcmd, batch_ids, B_max)
-            mask = np.zeros((B_max,), np.float32)
-            mask[:n_valid] = 1.0
-
-            batch = {
-                "input": jnp.asarray(inp),
-                "desvel": jnp.asarray(desvel),
-                "gt_vel": jnp.asarray(gt_vel),
-                "gt_frames": jnp.asarray(gt_frames),
-                "mask": jnp.asarray(mask),
-            }
             self._rng, k = jax.random.split(self._rng)
 
-            if mode == "train" and do_step:
-                self.params, self.opt_state, batch_loss, values, gradnorm = step(
-                    self.params, self.opt_state, batch, k
-                )
-                self._last_gradnorm = float(gradnorm)
+            if use_indexed:
+                idx = {
+                    "start": jnp.asarray(int(batch_ids[0]), jnp.int32),
+                    "ev_start": jnp.asarray(
+                        int(ev_offsets[traj_ids[it]] + local[0]), jnp.int32
+                    ),
+                    "n_valid": jnp.asarray(n_valid, jnp.int32),
+                }
+                if mode == "train" and do_step:
+                    self.params, self.opt_state, batch_loss, values, gradnorm = step(
+                        self.params, self.opt_state, device_data, idx, k
+                    )
+                    self._last_gradnorm = float(gradnorm)
+                else:
+                    batch_loss, values, pred_vel, pred_vision = step(
+                        self.params, device_data, idx, k
+                    )
             else:
-                batch_loss, values, pred_vel, pred_vision = step(self.params, batch, k)
+                if c.num_in_channels == 2:
+                    inp = self._chunk_padded(split.evs[traj_ids[it]], local, B_max)[:, None]
+                else:
+                    inp = self._chunk_padded(input_src, batch_ids, B_max)[:, None]
+                if c.num_out_channels == 2:
+                    gt_frames_h = self._chunk_padded(split.evs[traj_ids[it]], local, B_max)[:, None]
+                else:
+                    gt_frames_h = self._chunk_padded(gt_src, batch_ids, B_max)[:, None]
+                desvel = self._chunk_padded(split.desvel, batch_ids, B_max)[:, None]
+                # guard padded desvel against div-by-zero in gt normalization
+                desvel[n_valid:] = 1.0
+                gt_vel_h = self._chunk_padded(split.velcmd, batch_ids, B_max)
+                mask = np.zeros((B_max,), np.float32)
+                mask[:n_valid] = 1.0
+                batch = {
+                    "input": jnp.asarray(inp),
+                    "desvel": jnp.asarray(desvel),
+                    "gt_vel": jnp.asarray(gt_vel_h),
+                    "gt_frames": jnp.asarray(gt_frames_h),
+                    "mask": jnp.asarray(mask),
+                }
+                if mode == "train" and do_step:
+                    self.params, self.opt_state, batch_loss, values, gradnorm = step(
+                        self.params, self.opt_state, batch, k
+                    )
+                    self._last_gradnorm = float(gradnorm)
+                else:
+                    batch_loss, values, pred_vel, pred_vision = step(self.params, batch, k)
+
+            if not (mode == "train" and do_step):
                 sl = slice(int(local[0]), int(local[0]) + n_valid)
                 preds_vel_full[sl] = np.asarray(pred_vel)[:n_valid]
                 if pred_vision is not None:
                     preds_vision_full[sl] = np.asarray(pred_vision)[:n_valid]
-                gts_full[0][sl] = gt_vel[:n_valid]
-                gts_full[1][sl] = gt_frames[:n_valid]
+                gts_full[0][sl] = split.velcmd[batch_ids]
+                if c.num_out_channels == 2:
+                    gts_full[1][sl] = split.evs[traj_ids[it]][local][:, None]
+                else:
+                    gts_full[1][sl] = split.depths[batch_ids][:, None]
 
             total_loss += float(batch_loss)
             v = np.asarray(values)

@@ -96,12 +96,51 @@ def spectral_updates(params: Params) -> Params:
     return out
 
 
+def make_batch_slicer(B: int, num_in_channels: int, num_out_channels: int):
+    """Chunk gather on DEVICE from resident dataset arrays.
+
+    data: {'depths' (N+B,H,W), 'evs' (M+B,H,W), 'desvel' (N+B,), 'velcmd'
+    (N+B,3)} padded with B trailing zero frames so dynamic_slice never
+    clamps; idx: {'start', 'ev_start', 'n_valid'} 0-d int32 arrays.
+
+    Keeping the dataset on device and slicing inside jit removes the
+    per-chunk host→device transfer entirely — both a throughput win and the
+    workaround for the axon tunnel's transfer-buffer leak (staged host
+    buffers from repeated device_put are never freed; a training epoch was
+    leaking ~9 GB host RSS before this).
+    """
+    from jax import lax as _lax
+
+    def get_batch(data, idx):
+        if num_in_channels == 2:
+            inp = _lax.dynamic_slice_in_dim(data["evs"], idx["ev_start"], B, 0)[:, None]
+        else:
+            inp = _lax.dynamic_slice_in_dim(data["depths"], idx["start"], B, 0)[:, None]
+        if num_out_channels == 2:
+            gt_frames = _lax.dynamic_slice_in_dim(data["evs"], idx["ev_start"], B, 0)[:, None]
+        else:
+            gt_frames = _lax.dynamic_slice_in_dim(data["depths"], idx["start"], B, 0)[:, None]
+        inp = inp.astype(jnp.float32)
+        gt_frames = gt_frames.astype(jnp.float32)
+        desvel = _lax.dynamic_slice_in_dim(data["desvel"], idx["start"], B, 0)[:, None]
+        gt_vel = _lax.dynamic_slice_in_dim(data["velcmd"], idx["start"], B, 0)
+        mask = (
+            jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0] < idx["n_valid"]
+        ).astype(jnp.float32)
+        desvel = jnp.where(mask[:, None] > 0, desvel, 1.0)  # guard gt/desvel
+        return {"input": inp, "desvel": desvel, "gt_vel": gt_vel,
+                "gt_frames": gt_frames, "mask": mask}
+
+    return get_batch
+
+
 def make_train_step(model, kind, optimizer, loss_weights, optional_loss_param,
-                    data_augmentation=False, num_out_channels=1):
+                    data_augmentation=False, num_out_channels=1, batch_fn=None):
     """(params, opt_state, batch, rng) -> (params, opt_state, loss, values, gradnorm).
 
     Pure function — jit (single chip) or jit-with-shardings (DP mesh) at the
-    call site.
+    call site.  With ``batch_fn`` the step takes (params, opt_state, data,
+    idx, rng) and gathers the chunk on device (see make_batch_slicer).
     """
     forward_loss = make_forward_loss(
         model, kind, loss_weights, optional_loss_param,
@@ -128,10 +167,17 @@ def make_train_step(model, kind, optimizer, loss_weights, optional_loss_param,
         params = {**params, **updates}
         return params, opt_state, batch_loss, values, gradnorm
 
-    return step
+    if batch_fn is None:
+        return step
+
+    def indexed_step(params, opt_state, data, idx, rng):
+        return step(params, opt_state, batch_fn(data, idx), rng)
+
+    return indexed_step
 
 
-def make_eval_step(model, kind, loss_weights, optional_loss_param, num_out_channels=1):
+def make_eval_step(model, kind, loss_weights, optional_loss_param, num_out_channels=1,
+                   batch_fn=None):
     forward_loss = make_forward_loss(
         model, kind, loss_weights, optional_loss_param,
         data_augmentation=False, num_out_channels=num_out_channels, train=False,
@@ -141,4 +187,10 @@ def make_eval_step(model, kind, loss_weights, optional_loss_param, num_out_chann
         batch_loss, (values, _updates, pred_vel, pred_vision) = forward_loss(params, batch, rng)
         return batch_loss, values, pred_vel, pred_vision
 
-    return step
+    if batch_fn is None:
+        return step
+
+    def indexed_step(params, data, idx, rng):
+        return step(params, batch_fn(data, idx), rng)
+
+    return indexed_step

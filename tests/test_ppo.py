@@ -18,6 +18,7 @@ def empty_params():
         goal_vel=jnp.array([3.0, 0.0, 0.0]),
         world_box=jnp.array([[-5.0, -20.0, 0.0], [1e6, 20.0, 20.0]]),
         max_t=5.0,
+        vel_coeff=-0.05,  # stronger tracking signal for a short smoke run
     )
 
 
@@ -36,7 +37,8 @@ def test_ppo_improves_velocity_tracking(empty_params):
     """In an empty corridor, the reward is velocity tracking + survive —
     PPO must improve it within a few iterations."""
     cfg = PPOConfig(num_envs=32, rollout_len=32, epochs_per_iter=4, lr=1e-3)
-    _ac, history = train_ppo(empty_params, cfg, n_iters=15, seed=0)
-    early = np.mean([h["reward_mean"] for h in history[:3]])
-    late = np.mean([h["reward_mean"] for h in history[-3:]])
-    assert late > early, (early, late)
+    _ac, history = train_ppo(empty_params, cfg, n_iters=40, seed=0)
+    early = np.mean([h["reward_mean"] for h in history[:5]])
+    late = np.mean([h["reward_mean"] for h in history[-5:]])
+    # measured curve: ~-0.25 over the first iters -> ~-0.15 by iter 40
+    assert late > early + 0.02, (early, late)
