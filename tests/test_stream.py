@@ -84,3 +84,16 @@ def test_streaming_pipeline_smoke(rng):
     pipe.reset()
     vel3, _ = pipe.step_frame(frame)
     np.testing.assert_allclose(np.asarray(vel3), np.asarray(vel1), atol=1e-5)
+
+
+def test_stage_timer_percentiles():
+    from evfly_tpu.utils.profiling import StageTimer
+
+    t = StageTimer()
+    for v in (0.01, 0.02, 0.03):
+        t.record("render", v)
+    t.record("model", 0.005)
+    s = t.summary()
+    assert s["render"]["count"] == 3
+    assert s["render"]["p50_ms"] == pytest.approx(20.0)
+    assert "model" in t.report()
