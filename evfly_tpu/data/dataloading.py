@@ -1,8 +1,10 @@
 """Trajectory dataset loading with reference-dataloader parity.
 
 Reproduces the reference ``dataloader()`` (learner/dataloading.py:30-560) for
-the h5 path (the primary training input format, SURVEY.md §2.2) and the
-trajectory-folder path where feasible without cv2-specific assets:
+both input formats — the h5 schema (the primary training format, SURVEY.md
+§2.2) and the raw trajectory-folder format (folder of ``*_im.png`` /
+``*_depth.png`` + ``data.csv`` + ``evs_frames*.npy``, the format rollouts
+are recorded in):
 
 * h5 schema: one group per trajectory with datasets ``data`` (metadata),
   ``ims``, ``depths``, ``trajlength``, ``desvel``, ``evs``, ``dirs``,
@@ -19,6 +21,24 @@ trajectory-folder path where feasible without cv2-specific assets:
   trajectory list (dataloading.py:440-461).
 * ``train_val_dirs`` restore for split persistence (dataloading.py:82-104).
 
+Folder-format specifics (dataloading.py:108-136, 247-345):
+
+* trajectory folders = sorted ``<data_dir>/*/``; event frames from one
+  object-array ``<events>.npy`` at the dataset root, reindexed by the
+  shuffled folder ids (dataloading.py:164-166).
+* ``data.csv``: header row dropped; a malformed file falls back to
+  line-by-line parsing keeping only 21-column rows (dataloading.py:207-226).
+* images: ``*_depth.png`` present → paired ``*_im.png``; else ``*.png``
+  (or legacy ``*.npy`` scaled by 1/0.09).  png grayscale scaled by 1/255.
+* timestamp hygiene: duplicate metadata timestamps drop the FIRST
+  occurrence (np.unique return_index semantics — a reference quirk we
+  replicate, dataloading.py:306-310); image-filename timestamps are
+  set-matched against metadata timestamps and unmatched entries deleted on
+  both sides (dataloading.py:312-330); metadata timestamps re-zeroed to the
+  trajectory start (dataloading.py:343).
+* legacy npy datasets approximate desvel as ``max(meta[:, 12])``
+  (dataloading.py:367).
+
 Outputs are numpy float32 (host); device placement and sharding happen in
 the Learner's jitted step, keeping the loader an async host-side producer.
 """
@@ -26,10 +46,13 @@ the Learner's jitted step, keeping the loader an async host-side producer.
 from __future__ import annotations
 
 import dataclasses
+import glob
 import os
 import random
+import re
 import time
 from dataclasses import dataclass, field
+from os.path import join as opj
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -100,6 +123,117 @@ def write_h5_dataset(
             g.create_dataset("dirs_ids", data=traj.get("dirs_ids", 0))
 
 
+def _read_gray_png(path: str) -> np.ndarray:
+    """Grayscale png → float array (cv2.IMREAD_GRAYSCALE equivalent)."""
+    try:
+        import cv2
+
+        return np.asarray(cv2.imread(path, cv2.IMREAD_GRAYSCALE), np.float32)
+    except ImportError:  # pragma: no cover
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("L"), np.float32)
+
+
+def _im_timestamp(filename: str, is_png: bool) -> float:
+    """Timestamp from an image filename.
+
+    png: first numeric component (reference regex, dataloading.py:290-304);
+    legacy npy: fixed-position slice of the basename (dataloading.py:287).
+    """
+    base = os.path.basename(filename)
+    if not is_png:
+        return float(base[6:-4])
+    m = re.search(r"(\d+(\.\d+)?)", base)
+    if m is None:
+        raise ValueError(f"no numeric timestamp in image filename {base}")
+    return float(m.group(1))
+
+
+def _read_data_csv(path: str, is_png: bool) -> np.ndarray:
+    """data.csv → (T, 21) float64, header dropped.
+
+    Falls back to per-line parsing that silently drops rows with the wrong
+    column count — interrupted rollouts can truncate a row mid-write
+    (reference dataloading.py:207-226).
+    """
+    try:
+        meta = np.genfromtxt(path, delimiter=",", dtype=np.float64)[1:]
+        if np.isnan(meta).any():
+            raise ValueError("ragged rows produce NaN cells")
+        return meta
+    except Exception:
+        if not is_png:
+            raise NotImplementedError("malformed data.csv recovery is png-dataset only")
+        rows = []
+        with open(path) as fh:
+            for line in fh.readlines()[1:]:
+                cells = line.strip().split(",")
+                if len(cells) == 21:
+                    rows.append([float(x) for x in cells])
+        return np.array(rows, dtype=np.float64)
+
+
+def _match_im_meta_timestamps(
+    traj_ims, traj_depths, traj_meta, im_ts, logger, name
+):
+    """Delete duplicate-timestamp metadata rows and unmatched im/meta pairs.
+
+    Duplicates: collisions force logging, producing repeated timestamps; the
+    FIRST occurrence of each duplicated value is dropped (np.unique
+    return_index semantics — reference quirk, dataloading.py:306-310).
+    Matching is set-membership both ways (dataloading.py:21-28,312-330).
+    """
+    _, first_idx, counts = np.unique(traj_meta[:, 1], return_index=True, return_counts=True)
+    traj_meta = np.delete(traj_meta, first_idx[counts > 1], axis=0)
+
+    meta_ts = set(traj_meta[:, 1].tolist())
+    ims_ts_set = set(im_ts)
+    bad_ims = [i for i, t in enumerate(im_ts) if t not in meta_ts]
+    bad_meta = [i for i, t in enumerate(traj_meta[:, 1].tolist()) if t not in ims_ts_set]
+    if bad_ims or bad_meta:
+        logger(f"[DATALOADER] Unmatched timestamps in {name}: (deleting these!)")
+        logger(f"[DATALOADER]\tIdxs of images: {bad_ims}")
+        logger(f"[DATALOADER]\tIdxs of metadata: {bad_meta}")
+        traj_ims = np.delete(traj_ims, bad_ims, axis=0)
+        if traj_depths is not None:
+            traj_depths = np.delete(traj_depths, bad_ims, axis=0)
+        traj_meta = np.delete(traj_meta, bad_meta, axis=0)
+    return traj_ims, traj_depths, traj_meta
+
+
+def _load_folder_traj(folder: str, meta: np.ndarray, is_png: bool, logger):
+    """One trajectory folder → (meta, ims, depths|None) or None if empty.
+
+    Loads the image/depth pngs (or legacy npy frames), runs the
+    duplicate/unmatched timestamp hygiene against ``meta``, and re-zeroes
+    metadata timestamps (reference dataloading.py:247-345).
+    """
+    depth_files = sorted(glob.glob(opj(folder, "*_depth.png")))
+    if depth_files:
+        im_files = sorted(glob.glob(opj(folder, "*_im.png")))
+    else:
+        im_files = sorted(glob.glob(opj(folder, "*.png" if is_png else "*.npy")))
+    if not im_files:
+        logger(f"[DATALOADER] No images in {os.path.basename(folder)}, skipping.")
+        return None
+
+    depths = None
+    if is_png:
+        ims = np.stack([_read_gray_png(p) for p in im_files]) / 255.0
+        if depth_files:
+            depths = np.stack([_read_gray_png(p) for p in depth_files]) / 255.0
+    else:
+        ims = np.stack([np.load(p, allow_pickle=True) for p in im_files]).astype(np.float32) / 0.09
+
+    im_ts = [_im_timestamp(p, is_png) for p in im_files]
+    ims, depths, meta = _match_im_meta_timestamps(
+        ims, depths, meta, im_ts, logger, os.path.basename(folder)
+    )
+    meta[:, 1] -= meta[0, 1]  # 0-start timestamps (dataloading.py:343)
+    return meta, ims.astype(np.float32), depths
+
+
 def dataloader(
     data_dir: str,
     val_split: float = 0.0,
@@ -127,13 +261,15 @@ def dataloader(
         events = events + ("_tf.npy" if do_transform else ".npy")
 
     h5_filename = data_dir + ("_tf" if (do_transform and "_tf" not in data_dir) else "") + ".h5"
-    if not (os.path.exists(h5_filename) and use_h5):
+    found_h5 = os.path.exists(h5_filename) and use_h5
+    f = None
+    if found_h5:
+        logger(f"[DATALOADER] Found {h5_filename}, loading dataset")
+        f = h5py.File(h5_filename, "r")
+    elif not os.path.isdir(data_dir):
         raise FileNotFoundError(
-            f"h5 dataset not found at {h5_filename} (folder-format loading requires "
-            "the original png assets; package datasets with write_h5_dataset)"
+            f"dataset not found: neither {h5_filename} nor a trajectory folder at {data_dir}"
         )
-    logger(f"[DATALOADER] Found {h5_filename}, loading dataset")
-    f = h5py.File(h5_filename, "r")
 
     dataset_name = os.path.basename(data_dir)
 
@@ -162,7 +298,10 @@ def dataloader(
         val_split = len(new[1]) / len(traj_folders)
         traj_folders_ids = list(np.hstack((new[2], new[3])).astype(int)) if traj_folders else []
     else:
-        traj_folders = [os.path.join(data_dir, k) for k in f.keys()]
+        if found_h5:
+            traj_folders = [os.path.join(data_dir, k) for k in f.keys()]
+        else:
+            traj_folders = sorted(glob.glob(opj(data_dir, "*/")))
         traj_folders_ids = list(range(len(traj_folders)))
         if seed is not None and seed > -2:
             s = int(time.time() * 1e3) if seed == -1 else seed
@@ -182,10 +321,26 @@ def dataloader(
     kept_folders, kept_ids = [], []
     num_collision_trajs = 0
 
+    # folder format: one object-array of per-trajectory event-frame stacks at
+    # the dataset root, reindexed by the (shuffled, sliced) folder ids
+    # (reference dataloading.py:164-166); png vs legacy-npy detection by the
+    # first folder's contents (dataloading.py:181)
+    is_png = True
+    evframes_all = None
+    if not found_h5:
+        is_png = len(glob.glob(opj(traj_folders[0], "*.png"))) > 0 if traj_folders else True
+        logger(f"[DATALOADER] Image files are {'png' if is_png else 'npy'}")
+        if load_evs:
+            evframes_all = np.load(opj(data_dir, events), allow_pickle=True)
+            evframes_all = evframes_all[np.asarray(traj_folders_ids, int)]
+            logger(f"[DATALOADER] Loaded event frames of length {len(evframes_all)} from {events}")
+
     for traj_i, folder in enumerate(traj_folders):
         gname = folder.rstrip("/").split("/")[-1]
-        g = f[gname]
-        meta = np.asarray(g["data"][()], np.float64)
+        if found_h5:
+            meta = np.asarray(f[gname]["data"][()], np.float64)
+        else:
+            meta = _read_data_csv(opj(folder, "data.csv"), is_png)
         if np.isnan(meta).any():
             logger(f"[DATALOADER] NaN in {gname}, skipping.")
             continue
@@ -198,18 +353,39 @@ def dataloader(
             )
             if not keep_collisions:
                 continue
+
+        if found_h5:
+            ims = np.asarray(f[gname]["ims"][()], np.float32)
+            depths = np.asarray(f[gname]["depths"][()], np.float32)
+            if load_evs:
+                evs_list.append(np.asarray(f[gname]["evs"][()], np.float32))
+        else:
+            loaded = _load_folder_traj(folder, np.asarray(meta), is_png, logger)
+            if loaded is None:
+                continue
+            meta, ims, depths = loaded
+            if depths is None:
+                # datasets recorded without *_depth.png (depth-free
+                # deployments): keep the frame axis consistent downstream
+                depths = np.zeros_like(ims)
+            if load_evs:
+                evs_list.append(np.asarray(evframes_all[traj_i], np.float32))
+
         metas.append(np.asarray(meta, np.float32))
-        ims_list.append(np.asarray(g["ims"][()], np.float32))
-        depths_list.append(np.asarray(g["depths"][()], np.float32))
-        if load_evs:
-            evs_list.append(np.asarray(g["evs"][()], np.float32))
-        desired_vels.append(np.asarray(meta[:, 2], np.float32))
+        ims_list.append(ims)
+        depths_list.append(depths)
+        if is_png or found_h5:
+            desired_vels.append(np.asarray(meta[:, 2], np.float32))
+        else:
+            # legacy npy datasets: approximate desvel from the max x velcmd
+            desired_vels.append(np.full(len(meta), meta[:, 12].max(), np.float32))
         kept_folders.append(folder)
         kept_ids.append(traj_folders_ids[traj_i])
 
-    f.close()
+    if f is not None:
+        f.close()
     if not metas:
-        raise ValueError(f"No valid trajectories in {h5_filename}")
+        raise ValueError(f"No valid trajectories in {h5_filename if found_h5 else data_dir}")
 
     # ---- optional resize ----
     if resize_input is not None:
@@ -292,4 +468,4 @@ def dataloader(
             dirs_ids=kept_ids[t0:t1],
         )
 
-    return make_split(tr_tr), make_split(va_tr), True
+    return make_split(tr_tr), make_split(va_tr), is_png or found_h5

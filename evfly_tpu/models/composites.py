@@ -45,14 +45,15 @@ class OrigUNet_w_VITFLY_ViTLSTM:
         h_vit = (jnp.zeros((3, 128), dtype), jnp.zeros((3, 128), dtype))
         return (h_unet, h_vit)
 
-    def apply(self, params: Params, X, train: bool = False, rng=None):
+    def apply(self, params: Params, X, train: bool = False, rng=None, frame_mask=None):
         """X = [evframe, desvel, (h_unet, h_velpred), h_vitlstm].
 
         Returns (x_vel, (x_depth, y_upconv, ((h_unet, h_velpred), h_vitlstm)), updates).
         """
         x = X[0]
         _, (x_depth, y_upconv, (h_unet, h_velpred)), updates = self.origunet.apply(
-            sub(params, "origunet"), [x, None, X[2]], train=train, rng=rng
+            sub(params, "origunet"), [x, None, X[2]], train=train, rng=rng,
+            frame_mask=frame_mask,
         )
         updates = prefix_params("origunet", updates)
         x_depth_input = jnp.clip(x_depth * 2.0, 0.0, 1.0)
@@ -61,6 +62,7 @@ class OrigUNet_w_VITFLY_ViTLSTM:
             [x_depth_input, X[1], None, X[3] if len(X) > 3 else None],
             train=train,
             rng=rng,
+            frame_mask=frame_mask,
         )
         updates.update(prefix_params("vitfly_vitlstm", vit_updates))
         return x_vel, (x_depth, y_upconv, ((h_unet, h_velpred), h_vitlstm)), updates
@@ -112,8 +114,8 @@ class ConvNet_w_VelPred:
         p.update(prefix_params("velpred_head", self.velpred_head.init(k3)))
         return p
 
-    def apply(self, params: Params, X, train: bool = False, rng=None):
-        x, updates = self.convnet.apply(sub(params, "convnet"), X[0], train)
+    def apply(self, params: Params, X, train: bool = False, rng=None, frame_mask=None):
+        x, updates = self.convnet.apply(sub(params, "convnet"), X[0], train, frame_mask=frame_mask)
         updates = prefix_params("convnet", updates)
         x = x.reshape(x.shape[0], -1)
         h = None
@@ -156,10 +158,11 @@ class OrigUNet_w_ConvNet_w_VelPred:
             h_cv = (jnp.zeros((n, f), dtype), jnp.zeros((n, f), dtype))
         return (h_unet, h_cv)
 
-    def apply(self, params: Params, X, train: bool = False, rng=None):
+    def apply(self, params: Params, X, train: bool = False, rng=None, frame_mask=None):
         x = X[0]
         _, (x_depth, y_upconv, (h_unet, h_velpred)), updates = self.origunet.apply(
-            sub(params, "origunet"), [x, None, X[2]], train=train, rng=rng
+            sub(params, "origunet"), [x, None, X[2]], train=train, rng=rng,
+            frame_mask=frame_mask,
         )
         updates = prefix_params("origunet", updates)
         x_vel, h_cv, cv_updates = self.convnet_w_velpred.apply(
@@ -167,6 +170,7 @@ class OrigUNet_w_ConvNet_w_VelPred:
             [y_upconv, None, X[3] if len(X) > 3 else None],
             train=train,
             rng=rng,
+            frame_mask=frame_mask,
         )
         updates.update(prefix_params("convnet_w_velpred", cv_updates))
         return x_vel, (x_depth, y_upconv, ((h_unet, None), h_cv)), updates

@@ -90,8 +90,14 @@ class DynamicConvNet:
             cur = self.out_channels[i]
         return p
 
-    def apply(self, params: Params, x: jnp.ndarray, train: bool = False) -> Tuple[jnp.ndarray, Params]:
-        """Returns (out, updated batch-norm state entries keyed at full paths)."""
+    def apply(
+        self, params: Params, x: jnp.ndarray, train: bool = False, frame_mask=None
+    ) -> Tuple[jnp.ndarray, Params]:
+        """Returns (out, updated batch-norm state entries keyed at full paths).
+
+        ``frame_mask`` (N,) marks valid frames of a padded chunk so BN batch
+        statistics exclude padding (see ops.batch_norm2d).
+        """
         updates: Params = {}
         for i in range(self.num_layers):
             w = params[f"layers.{self.conv_function}_{i}.weight"]
@@ -107,6 +113,7 @@ class DynamicConvNet:
                 params[f"{bn}.running_mean"],
                 params[f"{bn}.running_var"],
                 training=train,
+                mask=frame_mask,
             )
             if train:
                 updates[f"{bn}.running_mean"] = new_m

@@ -257,10 +257,11 @@ class OrigUNet:
 
     # -------------------------------------------------------------- apply
 
-    def apply(self, params: Params, X, train: bool = False, rng=None):
+    def apply(self, params: Params, X, train: bool = False, rng=None, frame_mask=None):
         """X = [evframe (N,1,H,W), desvel (N,1), hidden (h_unet, h_velpred)].
 
         Returns (y_vel, (y_interp, y_upconv, (h_unet, h_velpred)), updates).
+        ``frame_mask`` (N,) excludes padded frames from velpred-head BN stats.
         """
         im = X[0]
         if self.num_in_channels == 2 or self.form_BEV > 0:
@@ -336,6 +337,7 @@ class OrigUNet:
                 {k[len("convnet_velpred."):]: v for k, v in params.items() if k.startswith("convnet_velpred.")},
                 tap,
                 train,
+                frame_mask=frame_mask,
             )
             updates.update({f"convnet_velpred.{k}": v for k, v in cv_updates.items()})
             feats = feats.reshape(feats.shape[0], -1)

@@ -44,7 +44,7 @@ def refine_inputs(X):
     return X
 
 
-def _bn(params, prefix, x, train, updates):
+def _bn(params, prefix, x, train, updates, mask=None):
     out, m, v = ops.batch_norm2d(
         x,
         params[f"{prefix}.weight"],
@@ -52,6 +52,7 @@ def _bn(params, prefix, x, train, updates):
         params[f"{prefix}.running_mean"],
         params[f"{prefix}.running_var"],
         training=train,
+        mask=mask,
     )
     if train:
         updates[f"{prefix}.running_mean"] = m
@@ -84,11 +85,11 @@ class ConvNet:
         p.update(prefix_params("fc3", init_linear(ks[5], 32, 3)))
         return p
 
-    def apply(self, params: Params, X, train: bool = False, rng=None):
+    def apply(self, params: Params, X, train: bool = False, rng=None, frame_mask=None):
         X = refine_inputs(X)
         updates: Params = {}
         x = ops.conv2d(X[0], params["conv1.weight"], params["conv1.bias"], stride=3)
-        x = _bn(params, "bn1", jax.nn.relu(x), train, updates)
+        x = _bn(params, "bn1", jax.nn.relu(x), train, updates, frame_mask)
         x = -ops.max_pool2d(-x, 2, 1)
         x = ops.conv2d(x, params["conv2.weight"], params["conv2.bias"], stride=2)
         x = ops.avg_pool2d(jax.nn.relu(x), 3, 1)
@@ -117,14 +118,14 @@ class LSTMNet:
         p.update(prefix_params("fc3", init_spectral_linear(ks[5], 16, 3)))
         return p
 
-    def apply(self, params: Params, X, train: bool = False, rng=None):
+    def apply(self, params: Params, X, train: bool = False, rng=None, frame_mask=None):
         X = refine_inputs(X)
         updates: Params = {}
         x = ops.conv2d(X[0], params["conv1.weight"], params["conv1.bias"], stride=3, padding=1)
-        x = _bn(params, "bn1", jax.nn.relu(x), train, updates)
+        x = _bn(params, "bn1", jax.nn.relu(x), train, updates, frame_mask)
         x = -ops.max_pool2d(-x, 3, 1)
         x = ops.conv2d(x, params["conv2.weight"], params["conv2.bias"], stride=2)
-        x = _bn(params, "bn2", jax.nn.relu(x), train, updates)
+        x = _bn(params, "bn2", jax.nn.relu(x), train, updates, frame_mask)
         x = ops.avg_pool2d(x, 3, 1)
         x = x.reshape(x.shape[0], -1)
         x = jnp.concatenate([x, X[1] * 0.1, X[2]], axis=1)
@@ -175,7 +176,7 @@ class LSTMNetVIT:
         )
         return _speclin(params, "decoder", fused.reshape(fused.shape[0], -1))
 
-    def apply(self, params: Params, X, train: bool = False, rng=None):
+    def apply(self, params: Params, X, train: bool = False, rng=None, frame_mask=None):
         X = refine_inputs(X)
         out = self._encode(params, X[0])
         out = jnp.concatenate([out, X[1] / 10.0, X[2]], axis=1)
@@ -204,7 +205,7 @@ class ViT:
         p.update(prefix_params("down_sample", init_conv2d(ks[5], 48, 12, 3)))
         return p
 
-    def apply(self, params: Params, X, train: bool = False, rng=None):
+    def apply(self, params: Params, X, train: bool = False, rng=None, frame_mask=None):
         X = refine_inputs(X)
         e1 = self.encoder_blocks[0].apply(sub(params, "encoder_blocks.0"), X[0])
         e2 = self.encoder_blocks[1].apply(sub(params, "encoder_blocks.1"), e1)
@@ -246,7 +247,7 @@ class UNetConvLSTMNet:
         p.update(prefix_params("nn_fc3", init_spectral_linear(ks[18], 32, 3)))
         return p
 
-    def apply(self, params: Params, X, train: bool = False, rng=None):
+    def apply(self, params: Params, X, train: bool = False, rng=None, frame_mask=None):
         X = refine_inputs(X)
         updates: Params = {}
         img, des_vel, quat = X[0], X[1], X[2]
@@ -269,7 +270,7 @@ class UNetConvLSTMNet:
 
         x_conv = jnp.concatenate([img, y_unet], axis=1)
         y = c("conv_conv1", x_conv, padding=0, stride=3)
-        y = _bn(params, "conv_bn1", y, train, updates)
+        y = _bn(params, "conv_bn1", y, train, updates, frame_mask)
         y = -ops.max_pool2d(-relu(y), 2, 1)
         y = relu(c("conv_conv2", y, padding=0, stride=2))
         y = ops.avg_pool2d(y, 2, 1)

@@ -299,17 +299,35 @@ def batch_norm2d(
     training: bool = False,
     momentum: float = 0.1,
     eps: float = 1e-5,
+    mask=None,
 ):
     """torch nn.BatchNorm2d. Returns (out, new_running_mean, new_running_var).
 
     Training mode normalizes with biased batch statistics and updates the
     running stats with the unbiased variance (torch semantics).
+
+    ``mask`` (optional, shape (N,), float 0/1) marks valid frames of a
+    padded chunk: statistics are computed over valid frames only, so padded
+    tail frames never touch batch stats or running stats — this makes the
+    padded-chunk training step equal to the reference's ragged-chunk step
+    (which simply has no padding).  Output normalization uses the masked
+    stats for every frame; padded outputs are discarded by the masked loss.
     """
     if training:
-        mean = jnp.mean(x, axis=(0, 2, 3))
-        var = jnp.mean(jnp.square(x - mean.reshape(1, -1, 1, 1)), axis=(0, 2, 3))
-        n = x.shape[0] * x.shape[2] * x.shape[3]
-        unbiased = var * (n / max(n - 1, 1))
+        if mask is not None:
+            m = mask.reshape(-1, 1, 1, 1).astype(x.dtype)
+            count = jnp.maximum(jnp.sum(mask) * (x.shape[2] * x.shape[3]), 1.0)
+            mean = jnp.sum(x * m, axis=(0, 2, 3)) / count
+            var = (
+                jnp.sum(jnp.square(x - mean.reshape(1, -1, 1, 1)) * m, axis=(0, 2, 3))
+                / count
+            )
+            unbiased = var * (count / jnp.maximum(count - 1.0, 1.0))
+        else:
+            mean = jnp.mean(x, axis=(0, 2, 3))
+            var = jnp.mean(jnp.square(x - mean.reshape(1, -1, 1, 1)), axis=(0, 2, 3))
+            n = x.shape[0] * x.shape[2] * x.shape[3]
+            unbiased = var * (n / max(n - 1, 1))
         new_mean = (1 - momentum) * running_mean + momentum * mean
         new_var = (1 - momentum) * running_var + momentum * unbiased
     else:

@@ -362,17 +362,26 @@ class Learner:
         (stepfn.make_batch_slicer) — no per-chunk host→device transfers
         (throughput + axon transfer-leak workaround).  Returns None when the
         split exceeds DEVICE_DATA_MAX_BYTES.
+
+        Cached ONE entry per mode: the split lives in HBM exactly once; a
+        request with a larger pad B than cached rebuilds (and frees) the
+        entry rather than duplicating the split.
         """
-        key = (mode, B)
-        if key in self._device_data:
-            return self._device_data[key]
+        cached = self._device_data.get(mode)
+        if cached is not None and cached[0] >= B:
+            return cached[1]
+        if cached is not None:
+            self._device_data.pop(mode)  # drop smaller-pad copy before rebuilding
         split = self.train if mode == "train" else self.val
         H, W = split.ims.shape[-2], split.ims.shape[-1]
-        nbytes = split.depths.nbytes + (
-            sum(ev.nbytes for ev in split.evs) if split.evs is not None else 0
+        nbytes = (
+            split.depths.nbytes
+            + split.desvel.nbytes
+            + split.velcmd.nbytes
+            + (sum(ev.nbytes for ev in split.evs) if split.evs is not None else 0)
         )
         if nbytes > self.DEVICE_DATA_MAX_BYTES:
-            self._device_data[key] = None
+            self._device_data[mode] = (B, None)
             return None
         pad_f = np.zeros((B, H, W), np.float32)
         data = {
@@ -394,7 +403,7 @@ class Learner:
             for k, v in data.items()
         }
         out = (dev, ev_offsets)
-        self._device_data[key] = out
+        self._device_data[mode] = (B, out)
         return out
 
     def _get_step(self, mode: str, indexed: bool = False, B: int = 0):
@@ -409,6 +418,9 @@ class Learner:
             else None
         )
         if mode == "train":
+            # donate params + opt-state: the step consumes and returns both,
+            # so XLA updates Adam moments in place instead of double-buffering
+            # the whole train state in HBM
             step = jax.jit(
                 make_train_step(
                     self.model, self._kind(), self.optimizer,
@@ -416,7 +428,8 @@ class Learner:
                     data_augmentation=self.cfg.data_augmentation != 0.0,
                     num_out_channels=self.cfg.num_out_channels,
                     batch_fn=batch_fn,
-                )
+                ),
+                donate_argnums=(0, 1),
             )
         else:
             step = jax.jit(
@@ -608,7 +621,10 @@ class Learner:
             traj_lengths = self.train.trajlength[shuffled]
 
             for it in range(self.num_training_steps):
-                new_lr = self.lr_scheduler(self.total_its - self.num_eps_trained * self.num_training_steps)
+                # total_its is seeded from the parsed checkpoint epoch, so a
+                # resumed run CONTINUES the warmup/decay schedule (reference
+                # learner.py:718-720) instead of restarting warmup from 0
+                new_lr = self.lr_scheduler(self.total_its)
                 self.opt_state.hyperparams["learning_rate"] = jnp.asarray(new_lr)
                 (loss, loss_terms), _ = self.run_model(
                     it, traj_starts, traj_lengths, shuffled, "train", batch_size=self.batch_size
@@ -666,9 +682,9 @@ class Learner:
         ep_loss /= max(self.num_val_steps, 1)
         ep_loss_terms = np.mean(ep_loss_terms, axis=0) if ep_loss_terms else np.zeros(2)
 
-        if ep in (self.num_eps_trained, self.num_eps_trained + 1) or not isinstance(
-            self.lowest_val_loss, list
-        ):
+        # first-call initialization (keyed off state, not epoch number, so
+        # out-of-sequence validation calls never reset best tracking)
+        if not isinstance(self.lowest_val_loss, list) or len(self.lowest_val_loss) != len(ep_loss_terms) + 1:
             self.lowest_val_loss = [math.inf] * (len(ep_loss_terms) + 1)
 
         if ep % c.print_trainprogress_freq == 0:

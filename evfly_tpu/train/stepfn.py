@@ -5,13 +5,11 @@ Encapsulates the reference's per-model-type dispatch (learner.py:1047-1083)
 plus spectral-norm power iteration and batch-norm state threading, as pure
 functions of (params, batch, rng) suitable for jit/pjit.
 
-Known, accepted padding interaction: the loss is exactly masked, and all
-recurrence is causal so padded chunk tails never contaminate real frames —
-but train-mode BatchNorm statistics (vitfly-family models only; the
-OrigUNet/joint configs have no BN on the training path) include padded
-zero frames of a trajectory's final chunk.  The effect is bounded by
-(pad fraction of one chunk)/(chunks per trajectory) and vanishes for
-trajectories longer than a few chunks.
+Padding is fully inert: the loss is exactly masked, recurrence is causal
+so padded chunk tails never contaminate real frames, and the frame mask is
+threaded into every model's BatchNorm so train-mode batch statistics (and
+running-stat updates) are computed over valid frames only — a padded chunk
+computes exactly what the reference's ragged (unpadded) chunk computes.
 """
 
 from __future__ import annotations
@@ -28,26 +26,38 @@ from ..ops.imageops import spectral_norm_power_iteration
 from .losses import combined_loss
 
 
-def apply_for_loss(model, kind: str, params, inp, desvel, train, rng):
-    """Run the model per the reference dispatch; returns (pred_vel, pred_vision, updates)."""
+def apply_for_loss(model, kind: str, params, inp, desvel, train, rng, frame_mask=None):
+    """Run the model per the reference dispatch; returns (pred_vel, pred_vision, updates).
+
+    ``frame_mask`` (N,) marks valid frames of a padded chunk; it reaches
+    every BatchNorm so train-mode statistics exclude padding.
+    """
     if kind == "origunet":
-        vel, (y_interp, _up, _h), updates = model.apply(params, [inp, desvel, None], train=train, rng=rng)
+        vel, (y_interp, _up, _h), updates = model.apply(
+            params, [inp, desvel, None], train=train, rng=rng, frame_mask=frame_mask
+        )
         return vel, y_interp, updates
     if kind == "vitfly":
-        vel, _h, updates = model.apply(params, [inp, desvel, None, None], train=train, rng=rng)
+        vel, _h, updates = model.apply(
+            params, [inp, desvel, None, None], train=train, rng=rng, frame_mask=frame_mask
+        )
         return vel.at[:, 2].set(0.0), None, updates
     if kind == "joint_vitlstm":
         vel, (depth, _up, _h), updates = model.apply(
-            params, [inp, desvel, (None, None), None], train=train, rng=rng
+            params, [inp, desvel, (None, None), None], train=train, rng=rng,
+            frame_mask=frame_mask,
         )
         return vel.at[:, 2].set(0.0), depth, updates
     if kind == "joint_convnet":
         vel, (depth, _up, _h), updates = model.apply(
-            params, [inp, desvel, (None, None), None], train=train, rng=rng
+            params, [inp, desvel, (None, None), None], train=train, rng=rng,
+            frame_mask=frame_mask,
         )
         return vel, depth, updates
     if kind == "convnet_velpred":
-        vel, _h, updates = model.apply(params, [inp, desvel, None], train=train, rng=rng)
+        vel, _h, updates = model.apply(
+            params, [inp, desvel, None], train=train, rng=rng, frame_mask=frame_mask
+        )
         return vel, None, updates
     raise ValueError(kind)
 
@@ -73,7 +83,10 @@ def make_forward_loss(
             inp, gt_norm_vel, gt_frames = augment_chunk(
                 k_aug, inp, gt_norm_vel, gt_frames, num_out_channels
             )
-        pred_vel, pred_vision, updates = apply_for_loss(model, kind, params, inp, desvel, train, rng)
+        pred_vel, pred_vision, updates = apply_for_loss(
+            model, kind, params, inp, desvel, train, rng,
+            frame_mask=mask if train else None,
+        )
         preds = [pred_vel, pred_vision if pred_vision is not None else jnp.zeros_like(gt_frames)]
         gt_norms = [gt_norm_vel, gt_frames]
         batch_loss, values = combined_loss(gt_norms, preds, mask, loss_weights, optional_loss_param)

@@ -1,0 +1,137 @@
+"""Folder-of-pngs dataset path: parity with the h5 path on the same data,
+plus the timestamp-hygiene quirks (reference dataloading.py:108-136,247-345).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from evfly_tpu.data.dataloading import dataloader, write_h5_dataset
+
+cv2 = pytest.importorskip("cv2")
+
+H, W = 24, 32
+
+
+def _write_traj_folder(root, name, rng, T=8, t0=100.0):
+    """One rollout folder: data.csv (21 cols, header) + {ts}_im/_depth.png."""
+    folder = root / name
+    folder.mkdir(parents=True)
+    ts = t0 + np.arange(T) * 0.05
+    ims8 = rng.integers(0, 256, (T, H, W)).astype(np.uint8)
+    depths8 = rng.integers(0, 256, (T, H, W)).astype(np.uint8)
+    meta = np.zeros((T, 21), np.float64)
+    meta[:, 0] = np.arange(T)
+    meta[:, 1] = ts
+    meta[:, 2] = 4.0
+    meta[:, 13] = 4.0
+    meta[:, 14] = rng.standard_normal(T) * 0.3
+    lines = ["idx," + ",".join(f"c{i}" for i in range(20))]
+    for r in meta:
+        lines.append(",".join(f"{v:.6f}" for v in r))
+    (folder / "data.csv").write_text("\n".join(lines) + "\n")
+    for i, t in enumerate(ts):
+        # filename timestamp string must parse to the same float as the csv
+        cv2.imwrite(str(folder / f"{t:.6f}_im.png"), ims8[i])
+        cv2.imwrite(str(folder / f"{t:.6f}_depth.png"), depths8[i])
+    evs = (rng.standard_normal((T - 1, H, W)) * 0.4).astype(np.float32)
+    zeroed = meta.copy()
+    zeroed[:, 1] -= zeroed[0, 1]
+    return {
+        "name": name,
+        "data": zeroed.astype(np.float32),  # folder path re-zeroes timestamps
+        "ims": ims8.astype(np.float32) / 255.0,
+        "depths": depths8.astype(np.float32) / 255.0,
+        "desvel": meta[:, 2].astype(np.float32),
+        "evs": evs,
+    }
+
+
+@pytest.fixture
+def folder_dataset(tmp_path, rng):
+    root = tmp_path / "forest_run"
+    trajs = [_write_traj_folder(root, f"{i:03d}", rng, T=8 + i) for i in range(6)]
+    evobj = np.empty(len(trajs), object)
+    for i, t in enumerate(trajs):
+        evobj[i] = t["evs"]
+    np.save(str(root / "evs_frames.npy"), evobj)
+    return str(root), trajs
+
+
+def test_folder_path_matches_h5_path(tmp_path, folder_dataset, rng):
+    """dataloader(use_h5=False) on the raw folders returns splits identical
+    to the h5 path on the same packaged data (VERDICT round-1 criterion)."""
+    root, trajs = folder_dataset
+    h5_base = str(tmp_path / "packaged")
+    write_h5_dataset(h5_base + ".h5", trajs)
+
+    kw = dict(val_split=0.5, seed=-2, events="evs_frames", keep_collisions=True,
+              rescale_evs=-1.0, logger=lambda m: None)
+    tr_f, va_f, is_png = dataloader(root, use_h5=False, **kw)
+    tr_h, va_h, _ = dataloader(h5_base, use_h5=True, **kw)
+
+    assert is_png
+    for a, b in ((tr_f, tr_h), (va_f, va_h)):
+        np.testing.assert_allclose(a.meta, b.meta, atol=1e-5)
+        np.testing.assert_allclose(a.ims, b.ims, atol=1e-6)
+        np.testing.assert_allclose(a.depths, b.depths, atol=1e-6)
+        np.testing.assert_array_equal(a.trajlength, b.trajlength)
+        np.testing.assert_allclose(a.desvel, b.desvel, atol=1e-6)
+        assert len(a.evs) == len(b.evs)
+        for ea, eb in zip(a.evs, b.evs):
+            np.testing.assert_allclose(ea, eb, atol=1e-6)
+
+
+def test_folder_shuffle_reindexes_event_frames(folder_dataset):
+    """Seeded shuffle must keep evs aligned with their folders
+    (evframes[traj_folders_ids] reindex, reference dataloading.py:164-166)."""
+    root, trajs = folder_dataset
+    tr, va, _ = dataloader(
+        root, use_h5=False, val_split=0.0, seed=3, events="evs_frames",
+        keep_collisions=True, logger=lambda m: None,
+    )
+    order = [int(os.path.basename(d.rstrip("/"))) for d in tr.dirs]
+    assert order != sorted(order)  # the seed actually shuffled
+    for i, traj_idx in enumerate(order):
+        np.testing.assert_allclose(tr.evs[i], trajs[traj_idx]["evs"], atol=1e-6)
+        assert tr.trajlength[i] == trajs[traj_idx]["ims"].shape[0]
+
+
+def test_duplicate_and_unmatched_timestamp_hygiene(tmp_path, rng):
+    """Duplicate meta timestamps drop the FIRST occurrence; unmatched
+    image/meta timestamps are deleted on both sides (dataloading.py:306-331)."""
+    root = tmp_path / "dirty"
+    t = _write_traj_folder(root, "000", rng, T=6)
+    folder = root / "000"
+
+    # duplicate a metadata timestamp (simulates collision-forced logging)
+    lines = (folder / "data.csv").read_text().strip().split("\n")
+    dup = lines[3].split(",")
+    dup[5] = "9.9"  # perturb a payload column so the kept copy is distinguishable
+    lines.insert(3, ",".join(dup))
+    # metadata-only row with a timestamp no image has
+    orphan = lines[4].split(",")
+    orphan[1] = "999.5"
+    lines.append(",".join(orphan))
+    (folder / "data.csv").write_text("\n".join(lines) + "\n")
+    # image pair with a timestamp no metadata row has
+    cv2.imwrite(str(folder / "777.000000_im.png"), np.zeros((H, W), np.uint8))
+    cv2.imwrite(str(folder / "777.000000_depth.png"), np.zeros((H, W), np.uint8))
+
+    evobj = np.empty(1, object)
+    evobj[0] = t["evs"]
+    np.save(str(root / "evs_frames.npy"), evobj)
+
+    tr, _, _ = dataloader(
+        str(root), use_h5=False, val_split=0.0, seed=-2, events="evs_frames",
+        keep_collisions=True, logger=lambda m: None,
+    )
+    # 6 valid frames survive: orphan meta + orphan image dropped, and of the
+    # duplicated timestamp the FIRST row was dropped (np.unique quirk) — the
+    # perturbed copy (inserted first) is gone, the original remains
+    assert tr.ims.shape[0] == 6
+    assert tr.meta.shape[0] == 6
+    assert not (tr.meta[:, 5] == 9.9).any()
+    # orphan meta timestamp (999.5, i.e. 899.5 after re-zeroing) is gone
+    assert tr.meta[:, 1].max() < 1.0

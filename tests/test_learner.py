@@ -114,6 +114,39 @@ def test_learner_checkpoint_resume_and_trainval_restore(tmp_path, rng):
 
 
 @pytest.mark.slow
+def test_resume_continues_lr_schedule_and_best_tracking(tmp_path, rng):
+    """A resumed run continues warmup/decay (reference learner.py:718-720
+    seeds total_its from the parsed epoch) instead of restarting warmup,
+    and out-of-sequence validation calls never reset best tracking."""
+    data_path = _toy_dataset(tmp_path, rng)
+    cfg = _base_config(tmp_path, data_path, seed=5, N_eps=2, lr_warmup_epochs=2)
+    learner = Learner(cfg)
+    learner.train_loop()  # 2 epochs = 4 iterations; final ckpt is model_ep000001
+    ckpt = sorted(glob.glob(os.path.join(learner.workspace, "model_ep*.pth")))[-1]
+
+    cfg2 = _base_config(
+        tmp_path, data_path, seed=5, N_eps=1, lr_warmup_epochs=2,
+        checkpoint_path=[ckpt], load_trainval=True,
+    )
+    learner2 = Learner(cfg2)
+    assert learner2.num_eps_trained == 1
+    assert learner2.total_its == learner2.num_eps_trained * learner2.num_training_steps
+    learner2.train_loop()
+    # last step of the resumed epoch ran at global it=3 of the 4-it warmup:
+    # lr = 0.1*lr + 0.9*lr*(3/4), NOT the restarted-warmup 0.1*lr + 0.9*lr*(1/4)
+    expected = 0.1 * cfg2.lr + (0.9 * cfg2.lr) * 3 / 4
+    got = float(learner2.opt_state.hyperparams["learning_rate"])
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+    # best tracking survives an out-of-sequence validation call
+    learner2.lowest_val_loss = [0.0] * len(learner2.lowest_val_loss)
+    n_best = len(glob.glob(os.path.join(learner2.workspace, "model_best*.pth")))
+    learner2.validation(learner2.num_eps_trained)  # epoch number that used to reset
+    assert all(v == 0.0 for v in learner2.lowest_val_loss)  # not re-initialized
+    assert len(glob.glob(os.path.join(learner2.workspace, "model_best*.pth"))) == n_best
+
+
+@pytest.mark.slow
 def test_learner_combine_checkpoints(tmp_path, rng):
     """D(θ)+V(φ) merge under origunet./vitfly_vitlstm. prefixes (learner.py:435-494)."""
     import jax
