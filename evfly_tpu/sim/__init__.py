@@ -3,6 +3,8 @@ from .expert import expert_velocity_command
 from .dynamics import QuadState, VelocityTrackingQuad
 from .evaluator import TrialEvaluator
 from .closed_loop import run_trial, rollout_to_trajectory
+from .batched import BatchedQuads, run_trials_batched
+from .planner import Planner, PlannerExpert
 from .launch_evaluation import run_evaluation
 from .vision_env import EnvParams, VecVisionEnv
 
@@ -17,6 +19,10 @@ __all__ = [
     "TrialEvaluator",
     "run_trial",
     "rollout_to_trajectory",
+    "run_trials_batched",
+    "BatchedQuads",
+    "Planner",
+    "PlannerExpert",
     "run_evaluation",
     "EnvParams",
     "VecVisionEnv",

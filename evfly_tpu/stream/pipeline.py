@@ -112,3 +112,84 @@ class StreamingPipeline:
             self.params, ex, ey, ep, self.hidden, desvel_arr
         )
         return vel * self.desvel, depth
+
+
+class BatchedStreamingPipeline:
+    """G independent event streams stepped in lockstep on one chip.
+
+    The multi-stream serving path (BASELINE config 5): every stream carries
+    its own recurrent state; one jitted step vmaps the per-stream forward
+    over the stream axis, so G policies cost ~one batched dispatch instead
+    of G sequential ones.  The reference has no analog — its scaling story
+    is OpenMP-threaded sim envs (vec_env_base.cpp:124); here the streams
+    share the MXU.
+
+    Per-stream hidden reset is a mask argument (sim resets a stream when its
+    quad re-enters pos.x < 0.5, run_competition.py:500-520), applied BEFORE
+    the forward like ``StreamingPipeline.reset``.
+    """
+
+    def __init__(
+        self,
+        model,
+        params: Params,
+        num_streams: int,
+        desvel=4.0,
+        input_hw: Tuple[int, int] = (260, 346),
+        quantile_scale: bool = True,
+        fast_percentile: bool = False,
+    ):
+        self.model = model
+        self.params = params
+        self.G = num_streams
+        self.input_hw = input_hw
+        desvel = jnp.broadcast_to(jnp.asarray(desvel, jnp.float32), (num_streams,))
+        self.desvel = desvel
+        H, W = input_hw
+
+        def one_stream(params, frame, dv, hidden):
+            if quantile_scale:
+                frame = _quantile_scale(frame, fast=fast_percentile)
+            x = frame.reshape(1, 1, H, W)
+            vel, (depth, _upconv, new_hidden), _updates = model.apply(
+                params, [x, dv.reshape(1, 1), hidden[0], hidden[1]], train=False
+            )
+            return vel[0], (depth[0, 0] if depth is not None else jnp.zeros(())), new_hidden
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def _step(params, frames, hidden, reset_mask):
+            hidden = jax.tree_util.tree_map(
+                lambda h: jnp.where(
+                    reset_mask.reshape((num_streams,) + (1,) * (h.ndim - 1)), 0.0, h
+                ),
+                hidden,
+            )
+            vels, depths, new_hidden = jax.vmap(
+                one_stream, in_axes=(None, 0, 0, 0)
+            )(params, frames, desvel, hidden)
+            return vels * desvel[:, None], depths, new_hidden
+
+        self._step = _step
+        self.hidden = self.init_hidden()
+
+    def init_hidden(self):
+        one = self.model.init_hidden()
+        return jax.tree_util.tree_map(
+            lambda h: jnp.broadcast_to(h, (self.G,) + h.shape), one
+        )
+
+    def reset(self):
+        self.hidden = self.init_hidden()
+
+    def step_frames(self, frames: jnp.ndarray, reset_mask=None):
+        """frames (G, H, W) -> (velocities (G, 3) scaled by desvel, depths).
+
+        ``reset_mask`` (G,) bool zeroes those streams' recurrent state before
+        the forward.
+        """
+        if reset_mask is None:
+            reset_mask = jnp.zeros((self.G,), bool)
+        vels, depths, self.hidden = self._step(
+            self.params, frames, self.hidden, jnp.asarray(reset_mask)
+        )
+        return vels, depths
