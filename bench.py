@@ -24,13 +24,19 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
 
     from evfly_tpu.models.vitfly import LSTMNetVIT
     from evfly_tpu.ops.imageops import interpolate_bilinear, set_precision
     from evfly_tpu.ops.percentile import approx_abs_quantile
-    from evfly_tpu.ops.voxelizer import event_histogram
+    from evfly_tpu.ops.voxelizer import event_histogram, event_histogram_scaled
+
+    # round-2: percentile fused into the Pallas epilogue (BENCH_FUSED=0 to
+    # compare against the separate-percentile path)
+    fused = os.environ.get("BENCH_FUSED", "1") != "0"
 
     # serving configuration: single-pass bf16 MXU (the 1e-3 torch-parity
     # contract is a separate mode — see ops.imageops.set_precision)
@@ -53,11 +59,18 @@ def main():
     def step(params, ex, ey, ep, desvel):
         # chunk 640 (5 MXU lanes-width) -> 5120-event grid step: 98% utilization
         # at 5k events/window vs 64% with the 4096 default
-        frames = jax.vmap(lambda x, y, p: event_histogram(x, y, p, H, W, chunk=640))(ex, ey, ep)
-        # bisection percentile: jnp.quantile's sort costs more than the model
-        q = approx_abs_quantile(frames, 0.97)
-        q = jnp.where(q > 0, q, 1.0)
-        frames = jnp.clip(frames / q[:, None, None], -1.0, 1.0)
+        if fused:
+            # voxelize + 97th-percentile normalize in one Pallas kernel: the
+            # bisection runs on the VMEM-resident accumulator (no HBM re-read)
+            frames = jax.vmap(
+                lambda x, y, p: event_histogram_scaled(x, y, p, H, W, chunk=640)
+            )(ex, ey, ep)
+        else:
+            frames = jax.vmap(lambda x, y, p: event_histogram(x, y, p, H, W, chunk=640))(ex, ey, ep)
+            # bisection percentile: jnp.quantile's sort costs more than the model
+            q = approx_abs_quantile(frames, 0.97)
+            q = jnp.where(q > 0, q, 1.0)
+            frames = jnp.clip(frames / q[:, None, None], -1.0, 1.0)
         small = interpolate_bilinear(frames[:, None], (60, 90))
         vel, _h, _u = model.apply(params, [small, desvel, None, None])
         return vel

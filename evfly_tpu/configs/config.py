@@ -88,6 +88,24 @@ _SPEC = {
     "eval_tools_freq": (int, False, 0),
     "eval_tools_on_best": (bool, False, False),
     "print_trainprogress_freq": (int, False, 1),
+    # TPU-native extensions (no reference analog — the reference trains
+    # single-GPU, learner.py:1194): chunk-level data parallelism over a
+    # device mesh.  dp_devices=0 keeps the single-device path.
+    "dp_devices": (int, False, 0),
+    "dp_chunks_per_device": (int, False, 1),
+    # scan a trajectory's chunk steps on device (one dispatch per trajectory
+    # instead of one synchronous loss fetch per chunk). Training-math
+    # equivalent to the per-chunk path; see stepfn.make_scanned_traj_step.
+    "traj_scan": (bool, False, True),
+    # store the device-resident training frames quantized (int8 events in
+    # [-1,1]/127 steps, uint8 depths in [0,1]/255 steps): 4-8x less HBM and
+    # host->device transfer over the tunnel. <=0.8% frame error; training
+    # only - parity eval paths keep float32. Off by default.
+    "device_data_quantized": (bool, False, False),
+    # V(phi) pretraining aid: transform depth inputs by clip(scale*x, 0, 1)
+    # so standalone depth->velocity training sees the composite's
+    # clip(2*depth, 0, 1) input distribution (learner_models.py:634).
+    "input_frame_scale": (float, False, 1.0),
     "num_out_channels": (int, False, 1),
     "num_in_channels": (int, False, 2),
     "resize_input": (int, True, None),

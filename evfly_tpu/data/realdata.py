@@ -55,12 +55,32 @@ def package_real_sequence(
     pos_thresh: float = 0.2,
     neg_thresh: float = 0.2,
 ) -> Dict:
-    """Build one h5-schema trajectory dict from a real recording."""
+    """Build one h5-schema trajectory dict from a real recording.
+
+    Accepts real-sensor conventions directly:
+    * timestamps at any epoch scale (Prophesee stamps are ns/µs since boot or
+      UNIX epoch) — rebased to the recording start in float64 BEFORE the
+      float32 device cast, which would otherwise quantize epoch-scale values
+      to ~100 s resolution,
+    * polarity as {0, 1} (Prophesee/dv EventArray encoding) or {-1, +1};
+      {0, 1} streams are mapped to signed.
+    """
     import jax.numpy as jnp
 
     from ..ops.voxelizer import event_frames_from_windows
 
     H, W = sensor_hw if sensor_hw is not None else depth_frames.shape[1:]
+
+    event_t = np.asarray(event_t, np.float64)
+    depth_ts = np.asarray(depth_ts, np.float64)
+    t_base = min(float(event_t[0]), float(depth_ts[0]))
+    event_t = event_t - t_base
+    depth_ts = depth_ts - t_base
+
+    event_p = np.asarray(event_p)
+    if event_p.min() >= 0 and event_p.max() <= 1:
+        event_p = event_p.astype(np.int32) * 2 - 1
+
     pairs = sync_depth_events(depth_ts, event_t)
     if not pairs:
         raise ValueError("no synced depth/event windows")

@@ -48,4 +48,10 @@ def approx_abs_quantile(frames: jnp.ndarray, q: float = 0.97, iters: int = 18) -
         return (jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid))
 
     lo, hi = lax.fori_loop(0, iters, body, (lo, hi))
-    return hi
+    # sparse frames: when the k-th order statistic is exactly 0 the bisection
+    # upper bound converges to max/2^iters instead of 0, which would blow a
+    # near-empty frame up to clip saturation — snap to the exact 0 (keeps the
+    # serving path consistent with the linear-interpolated parity quantile's
+    # zero-fallback on sparse event frames)
+    n_zero = jnp.sum(flat <= 0.0, axis=1)
+    return jnp.where(n_zero >= k, 0.0, hi)

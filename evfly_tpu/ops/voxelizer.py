@@ -137,6 +137,136 @@ def _hist_pallas(yi, xi, sign, *, H: int, W: int, chunk: int, interpret: bool):
     )(yi, xi, sign)
 
 
+def _make_hist_kernel_fused_quantile(q: float, iters: int):
+    """Histogram kernel + epilogue: the q-quantile of |counts| computed on
+    the VMEM-resident accumulator in the LAST grid step (round-2 perf item:
+    the separate percentile pass re-read every frame from HBM; here the
+    bisection runs on the block that is already on-core).  Same order
+    statistic as ops.percentile.approx_abs_quantile: k = floor(q·(n-1)) + 1,
+    branchless value-axis bisection, ``iters`` masked-count passes."""
+
+    def kernel(yi_ref, xi_ref, sign_ref, out_ref, q_ref):
+        k = pl.program_id(0)
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        E = yi_ref.shape[1]
+        H, W = out_ref.shape
+        acc = out_ref[:]
+        for r in range(_SUBCHUNKS):
+            yi = yi_ref[r, :]
+            xi = xi_ref[r, :]
+            sign = sign_ref[r, :]
+            row_ids = lax.broadcasted_iota(jnp.int32, (H, E), 0)
+            col_ids = lax.broadcasted_iota(jnp.int32, (E, W), 1)
+            yoh = jnp.where(row_ids == yi[None, :], sign[None, :], 0.0).astype(jnp.bfloat16)
+            xoh = (col_ids == xi[:, None]).astype(jnp.bfloat16)
+            acc = acc + jnp.dot(yoh, xoh, preferred_element_type=jnp.float32)
+        out_ref[:] = acc
+
+        @pl.when(k == pl.num_programs(0) - 1)
+        def _():
+            a = jnp.abs(acc)
+            n = H * W
+            kth = int(q * (n - 1)) + 1  # floor(q·(n-1)) + 1, static
+            lo0 = jnp.zeros((), jnp.float32)
+            hi0 = jnp.max(a)
+
+            def body(_, carry):
+                lo, hi = carry
+                mid = 0.5 * (lo + hi)
+                cnt = jnp.sum((a <= mid).astype(jnp.int32))
+                go_right = cnt < kth
+                return (
+                    jnp.where(go_right, mid, lo),
+                    jnp.where(go_right, hi, mid),
+                )
+
+            _, hi = lax.fori_loop(0, iters, body, (lo0, hi0))
+            # exact-zero snap for sparse frames (see percentile.py): the
+            # k-th order statistic of a near-empty frame is 0, not max/2^iters
+            n_zero = jnp.sum((a <= 0.0).astype(jnp.int32))
+            q_ref[0, 0] = jnp.where(n_zero >= kth, 0.0, hi)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("H", "W", "chunk", "interpret", "q", "iters")
+)
+def _hist_pallas_fused_quantile(
+    yi, xi, sign, *, H: int, W: int, chunk: int, interpret: bool,
+    q: float, iters: int,
+):
+    n = yi.shape[0]
+    step = chunk * _SUBCHUNKS
+    n_pad = max(((n + step - 1) // step) * step, step)
+    pad = n_pad - n
+    yi = jnp.pad(yi, (0, pad))
+    xi = jnp.pad(xi, (0, pad))
+    sign = jnp.pad(sign, (0, pad))
+    num_steps = n_pad // step
+    yi = yi.reshape(num_steps * _SUBCHUNKS, chunk)
+    xi = xi.reshape(num_steps * _SUBCHUNKS, chunk)
+    sign = sign.reshape(num_steps * _SUBCHUNKS, chunk)
+
+    ev_spec = pl.BlockSpec((_SUBCHUNKS, chunk), lambda i: (i, 0))
+    counts, qval = pl.pallas_call(
+        _make_hist_kernel_fused_quantile(q, iters),
+        out_shape=(
+            jax.ShapeDtypeStruct((H, W), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        grid=(num_steps,),
+        in_specs=[ev_spec, ev_spec, ev_spec],
+        out_specs=(
+            pl.BlockSpec((H, W), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * H * W * n_pad + iters * H * W,
+            bytes_accessed=3 * n_pad * 4 + H * W * 4,
+            transcendentals=0,
+        ),
+    )(yi, xi, sign)
+    return counts, qval[0, 0]
+
+
+def event_histogram_scaled(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    pol: jnp.ndarray,
+    H: int,
+    W: int,
+    thresh: float = 0.2,
+    q: float = 0.97,
+    iters: int = 18,
+    chunk: int = 512,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Voxelize + 97th-percentile normalize in ONE fused Pallas kernel.
+
+    Returns clip(frame / quantile(|frame|, q), ±1) — the deployment input
+    transform (run.py:250-253) — without re-reading the frame from HBM for
+    the percentile.  The scale factor thresh cancels: frame/qval =
+    counts/qcounts, so the kernel works on raw signed counts.  Requires
+    pos_thresh == neg_thresh (the shipped configs' ±0.2).
+    """
+    if interpret is None:
+        interpret = _default_interpret()
+    xi, yi, sign = _bin_events(x, y, pol, H, W)
+    counts, qcnt = _hist_pallas_fused_quantile(
+        yi, xi, sign, H=H, W=W, chunk=chunk, interpret=interpret, q=q, iters=iters
+    )
+    # zero-quantile fallback divides the VALUE frame by 1.0 (run.py:252
+    # semantics): values = thresh × counts there, 1/qcnt on counts otherwise
+    scale = jnp.where(qcnt > 0, 1.0 / jnp.maximum(qcnt, 1e-30), thresh)
+    return jnp.clip(counts * scale, -1.0, 1.0)
+
+
 def _default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 

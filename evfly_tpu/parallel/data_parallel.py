@@ -64,6 +64,98 @@ def make_dp_train_step(
     return sharded_step
 
 
+def make_dp_chunked_train_step(
+    model,
+    kind: str,
+    optimizer,
+    mesh: Mesh,
+    B: int,
+    num_in_channels: int,
+    num_out_channels: int = 1,
+    loss_weights: Optional[Sequence[float]] = None,
+    optional_loss_param: Optional[Sequence[float]] = None,
+    data_augmentation: bool = False,
+    axis_name: str = "data",
+    input_frame_scale: float = 1.0,
+):
+    """Chunk-level DP: G independent trajectory chunks per optimizer step.
+
+    The correct DP axis for this workload is the CHUNK, not the frame:
+    training zero-initializes recurrent state per chunk (reference passes
+    hidden=None per chunk, learner.py:1047-1049), so chunks are independent
+    work items, while the frame axis inside a chunk is TIME for the
+    ConvLSTM/LSTM scans and must stay device-local.  Each device gathers its
+    chunks from the (replicated) device-resident split via the batch slicer
+    and runs the full forward; gradients/losses are averaged over the real
+    (non-padded) chunks — XLA inserts the psum over ICI from the shardings.
+
+    Step signature: (params, opt_state, data, idxs, rngs) ->
+    (params, opt_state, loss_sum, values_sum, gradnorm, n_real)
+    where idxs = {'start','ev_start','n_valid'} each (G,) int32, rngs (G, 2)
+    uint32 key array.  Padded work items (n_valid == 0) contribute zero loss
+    and zero grads (losses._masked_mean guards empty masks); the mean is
+    taken over the real count, so remainder-padded steps are exact.
+    loss_sum / values_sum are sums over real chunks (callers accumulate the
+    reference's per-trajectory epoch statistics from them).
+    """
+    import jax.numpy as jnp
+
+    from ..train.stepfn import make_batch_slicer, make_forward_loss, spectral_updates
+
+    forward_loss = make_forward_loss(
+        model, kind, loss_weights, optional_loss_param,
+        data_augmentation=data_augmentation, num_out_channels=num_out_channels,
+        train=True, input_frame_scale=input_frame_scale,
+    )
+    batch_fn = make_batch_slicer(B, num_in_channels, num_out_channels)
+
+    def step(params, opt_state, data, idxs, rngs):
+        params = {**params, **spectral_updates(params)}
+        diff = {k: v for k, v in params.items() if is_trainable_key(k)}
+        nondiff = {k: v for k, v in params.items() if not is_trainable_key(k)}
+        real = (idxs["n_valid"] > 0).astype(jnp.float32)          # (G,)
+        n_real = jnp.maximum(real.sum(), 1.0)
+
+        def one(diff_params, idx, rng):
+            loss, (values, updates, _pv, _pd) = forward_loss(
+                {**diff_params, **nondiff}, batch_fn(data, idx), rng
+            )
+            return loss, values, updates
+
+        def mean_loss(diff_params):
+            losses, values, updates = jax.vmap(one, in_axes=(None, 0, 0))(
+                diff_params, idxs, rngs
+            )
+            # guard padded chunks: zero their (potentially NaN) state updates
+            updates = jax.tree_util.tree_map(
+                lambda u: jnp.sum(
+                    jnp.where(real.reshape((-1,) + (1,) * (u.ndim - 1)) > 0, u, 0.0),
+                    axis=0,
+                )
+                / n_real,
+                updates,
+            )
+            return losses.sum() / n_real, (losses.sum(), values.sum(0), updates)
+
+        (_, (loss_sum, values_sum, updates)), grads = jax.value_and_grad(
+            mean_loss, has_aux=True
+        )(diff)
+        gradnorm = optax.global_norm(grads)
+        grads_full = {**{k: jnp.zeros_like(v) for k, v in nondiff.items()}, **grads}
+        opt_updates, opt_state = optimizer.update(grads_full, opt_state, params)
+        params = optax.apply_updates(params, opt_updates)
+        params = {**params, **updates}
+        return params, opt_state, loss_sum, values_sum, gradnorm, n_real
+
+    repl = NamedSharding(mesh, P())
+    shard0 = NamedSharding(mesh, P(axis_name))
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, repl, {"start": shard0, "ev_start": shard0, "n_valid": shard0}, shard0),
+        donate_argnums=(0, 1),
+    )
+
+
 def dp_train_demo_step(n_devices: int, input_hw=(188, 196), batch: int = 8):
     """Build + run ONE data-parallel joint-model train step on tiny shapes.
 

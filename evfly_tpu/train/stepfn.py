@@ -70,11 +70,19 @@ def make_forward_loss(
     data_augmentation: bool = False,
     num_out_channels: int = 1,
     train: bool = True,
+    input_frame_scale: float = 1.0,
 ) -> Callable:
-    """batch = {input, desvel, gt_vel, gt_frames, mask} -> (loss, aux)."""
+    """batch = {input, desvel, gt_vel, gt_frames, mask} -> (loss, aux).
+
+    ``input_frame_scale != 1`` maps inputs through clip(scale·x, 0, 1) — the
+    V(φ)-pretraining transform matching the composite's clip(2·depth, 0, 1)
+    hand-off (learner_models.py:634).
+    """
 
     def forward_loss(params: Params, batch, rng):
         inp, desvel = batch["input"], batch["desvel"]
+        if input_frame_scale != 1.0:
+            inp = jnp.clip(inp * input_frame_scale, 0.0, 1.0)
         gt_norm_vel = batch["gt_vel"] / desvel
         gt_frames = batch["gt_frames"]
         mask = batch["mask"]
@@ -124,6 +132,15 @@ def make_batch_slicer(B: int, num_in_channels: int, num_out_channels: int):
     """
     from jax import lax as _lax
 
+    def _decode(a):
+        """bf16 -> f32 cast, or int8/uint8 dequantization (the quantized
+        device-residency path; see Learner._get_device_data)."""
+        if a.dtype == jnp.int8:
+            return a.astype(jnp.float32) / 127.0
+        if a.dtype == jnp.uint8:
+            return a.astype(jnp.float32) / 255.0
+        return a.astype(jnp.float32)
+
     def get_batch(data, idx):
         if num_in_channels == 2:
             inp = _lax.dynamic_slice_in_dim(data["evs"], idx["ev_start"], B, 0)[:, None]
@@ -133,8 +150,8 @@ def make_batch_slicer(B: int, num_in_channels: int, num_out_channels: int):
             gt_frames = _lax.dynamic_slice_in_dim(data["evs"], idx["ev_start"], B, 0)[:, None]
         else:
             gt_frames = _lax.dynamic_slice_in_dim(data["depths"], idx["start"], B, 0)[:, None]
-        inp = inp.astype(jnp.float32)
-        gt_frames = gt_frames.astype(jnp.float32)
+        inp = _decode(inp)
+        gt_frames = _decode(gt_frames)
         desvel = _lax.dynamic_slice_in_dim(data["desvel"], idx["start"], B, 0)[:, None]
         gt_vel = _lax.dynamic_slice_in_dim(data["velcmd"], idx["start"], B, 0)
         mask = (
@@ -148,7 +165,8 @@ def make_batch_slicer(B: int, num_in_channels: int, num_out_channels: int):
 
 
 def make_train_step(model, kind, optimizer, loss_weights, optional_loss_param,
-                    data_augmentation=False, num_out_channels=1, batch_fn=None):
+                    data_augmentation=False, num_out_channels=1, batch_fn=None,
+                    input_frame_scale=1.0):
     """(params, opt_state, batch, rng) -> (params, opt_state, loss, values, gradnorm).
 
     Pure function — jit (single chip) or jit-with-shardings (DP mesh) at the
@@ -158,6 +176,7 @@ def make_train_step(model, kind, optimizer, loss_weights, optional_loss_param,
     forward_loss = make_forward_loss(
         model, kind, loss_weights, optional_loss_param,
         data_augmentation, num_out_channels, train=True,
+        input_frame_scale=input_frame_scale,
     )
 
     def step(params, opt_state, batch, rng):
@@ -189,11 +208,65 @@ def make_train_step(model, kind, optimizer, loss_weights, optional_loss_param,
     return indexed_step
 
 
+def make_scanned_traj_step(model, kind, optimizer, loss_weights, optional_loss_param,
+                           data_augmentation=False, num_out_channels=1,
+                           num_in_channels=2, B=32, input_frame_scale=1.0):
+    """One jitted dispatch per TRAJECTORY: lax.scan over its chunk steps.
+
+    The per-chunk path costs a synchronous host round-trip per chunk to read
+    the loss (the axon tunnel charges ~30-100 ms each), which dominated
+    round-1 epoch time.  Scanning the chunk loop on device — Adam update and
+    all — reduces host syncs from chunks/epoch to trajectories/epoch.  LR is
+    constant within a trajectory by reference semantics (learner.py:718-720
+    updates LR once per trajectory iteration).
+
+    idxs: {'start','ev_start','n_valid'} each (C,) int32, padded to a stable
+    C with n_valid == 0 entries; padded chunks are lax.cond-skipped so the
+    optimizer state never sees them (an Adam step on zero grads is NOT a
+    no-op).  Returns (params, opt_state, loss_sum, values_sum, gradnorm_mean).
+    """
+    step = make_train_step(
+        model, kind, optimizer, loss_weights, optional_loss_param,
+        data_augmentation, num_out_channels,
+        batch_fn=make_batch_slicer(B, num_in_channels, num_out_channels),
+        input_frame_scale=input_frame_scale,
+    )
+
+    def traj_step(params, opt_state, data, idxs, rng):
+        C = idxs["start"].shape[0]
+        rngs = jax.random.split(rng, C)
+        n_values = 2  # velocity + vision terms (combined_loss layout)
+
+        def body(carry, x):
+            idx, k = x
+
+            def do(carry):
+                params, opt_state = carry
+                params, opt_state, loss, values, gn = step(params, opt_state, data, idx, k)
+                return (params, opt_state), (loss, values, gn)
+
+            def skip(carry):
+                return carry, (
+                    jnp.zeros(()), jnp.zeros((n_values,)), jnp.zeros(()),
+                )
+
+            return jax.lax.cond(idx["n_valid"] > 0, do, skip, carry)
+
+        (params, opt_state), (losses, values, gns) = jax.lax.scan(
+            body, (params, opt_state), (idxs, rngs)
+        )
+        n_real = jnp.maximum((idxs["n_valid"] > 0).sum(), 1)
+        return params, opt_state, losses.sum(), values.sum(0), gns.sum() / n_real
+
+    return traj_step
+
+
 def make_eval_step(model, kind, loss_weights, optional_loss_param, num_out_channels=1,
-                   batch_fn=None):
+                   batch_fn=None, input_frame_scale=1.0):
     forward_loss = make_forward_loss(
         model, kind, loss_weights, optional_loss_param,
         data_augmentation=False, num_out_channels=num_out_channels, train=False,
+        input_frame_scale=input_frame_scale,
     )
 
     def step(params, batch, rng):

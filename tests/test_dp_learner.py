@@ -1,0 +1,67 @@
+"""Chunk-level data-parallel training through the real Learner loop.
+
+The virtual 8-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8) validates that the sharded DP epoch
+computes EXACTLY what the same G-chunk step computes on a 1-device mesh:
+DP here is a semantics-preserving partition of the vmapped chunk axis, so
+per-epoch losses and final params must match bit-for-bit-ish (float
+tolerance from reduction order only).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from evfly_tpu.configs import EvflyConfig
+from evfly_tpu.data.dataloading import write_h5_dataset
+from evfly_tpu.train.learner import Learner
+
+from test_learner import _base_config, _toy_dataset  # noqa: F401  (reuse helpers)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def _train(tmp_path, data_path, dp_devices, chunks_per_device, sub):
+    # VITFLY_ConvNet: no dropout, so per-chunk rng keys (sharded differently
+    # across meshes) cannot perturb the comparison
+    cfg = _base_config(
+        tmp_path, data_path, ws_suffix=f"_{sub}", dp_devices=dp_devices,
+        dp_chunks_per_device=chunks_per_device, N_eps=2,
+        data_augmentation=0.0, seed=5, model_type=["VITFLY_ConvNet"],
+    )
+    learner = Learner(cfg)
+    losses = []
+    orig_logger = learner.mylogger
+
+    def capture(msg):
+        orig_logger(msg)
+        if "ep_loss =" in msg:
+            losses.append(float(msg.split("ep_loss = ")[1].split(",")[0]))
+
+    learner.mylogger = capture
+    learner.train_loop()
+    return learner, losses
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs the virtual 8-CPU mesh")
+def test_dp_epoch_matches_one_device_mesh(tmp_path, rng):
+    """8 devices × 1 chunk vs 1 device × 8 chunks: same G=8 work items per
+    optimizer step, so the sharded run must reproduce the unsharded one."""
+    # 3 trajs x 2 chunks = 6 work items per epoch -> G=8 steps pad 2 items
+    # with n_valid=0, exercising the padded-chunk guard
+    data_path = _toy_dataset(tmp_path, rng, n_traj=3, T=12, H=60, W=90)
+
+    l8, losses8 = _train(tmp_path, data_path, dp_devices=8, chunks_per_device=1, sub="dp8")
+    l1, losses1 = _train(tmp_path, data_path, dp_devices=1, chunks_per_device=8, sub="dp1")
+
+    assert len(losses8) == len(losses1) == 2
+    np.testing.assert_allclose(losses8, losses1, rtol=2e-4)
+
+    p8 = {k: np.asarray(v) for k, v in l8.params.items()}
+    p1 = {k: np.asarray(v) for k, v in l1.params.items()}
+    for k in p8:
+        np.testing.assert_allclose(p8[k], p1[k], atol=5e-5, err_msg=k)

@@ -1,0 +1,42 @@
+"""Fused voxelize+percentile kernel (event_histogram_scaled) vs the unfused
+composition (event_histogram -> approx_abs_quantile -> clip)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from evfly_tpu.ops.percentile import approx_abs_quantile
+from evfly_tpu.ops.voxelizer import event_histogram, event_histogram_scaled
+
+
+@pytest.mark.parametrize("n_events", [0, 37, 5000])
+def test_fused_matches_unfused(n_events):
+    rng = np.random.default_rng(n_events)
+    H, W = 64, 86
+    x = jnp.asarray(rng.uniform(0, W, n_events), jnp.float32)
+    y = jnp.asarray(rng.uniform(0, H, n_events), jnp.float32)
+    p = jnp.asarray(rng.choice([-1, 1], n_events), jnp.int32)
+
+    fused = np.asarray(event_histogram_scaled(x, y, p, H, W))
+
+    frame = event_histogram(x, y, p, H, W)
+    q = approx_abs_quantile(frame[None], 0.97)[0]
+    q = jnp.where(q > 0, q, 1.0)
+    unfused = np.asarray(jnp.clip(frame / q, -1.0, 1.0))
+
+    np.testing.assert_allclose(fused, unfused, atol=2e-5)
+
+
+def test_fused_zero_quantile_fallback():
+    """A frame whose 97th percentile is exactly zero (very sparse events)
+    falls back to dividing the VALUE frame by 1.0 — run.py:252 semantics.
+    Requires the bisection's exact-zero snap: without it the upper bound
+    max/2^18 > 0 would blow the frame up to clip saturation."""
+    H, W = 32, 40
+    x = jnp.asarray([3.0, 3.0, 3.0], jnp.float32)
+    y = jnp.asarray([5.0, 5.0, 5.0], jnp.float32)
+    p = jnp.asarray([1, 1, 1], jnp.int32)
+    fused = np.asarray(event_histogram_scaled(x, y, p, H, W))
+    assert fused[5, 3] == pytest.approx(min(3 * 0.2, 1.0))
+    assert np.count_nonzero(fused) == 1

@@ -1,0 +1,134 @@
+"""Closed-loop command parity: trained checkpoint through torch vs TPU path.
+
+The published evfly checkpoints are not on disk (README download links), so
+the strongest available end-to-end parity evidence is the round trip in the
+other direction (VERDICT #6 substitute): load a TRAINED evfly_tpu checkpoint
+into the REFERENCE PyTorch model (learner/learner_models.py), then drive
+both implementations through the same recorded closed-loop event stream with
+deployment semantics — 97th-quantile input scaling, carried hidden state,
+desvel scaling (run_competition.py:466-584 / run.py:244-309) — and report
+the per-frame velocity-command and depth-map deltas.
+
+  python tools/torch_parity_closed_loop.py --ckpt <model.pth> \
+      [--h5 /data/evfly/data/datasets/simgen_forest_big.h5] [--frames 120]
+
+Prints a JSON line with max/mean |Δv| (m/s) and depth MAE; the contract is
+max |Δv| < 1e-3·desvel at parity precision.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ENC = {
+    "num_layers": 2, "kernel_sizes": [5, 3], "kernel_strides": [2, 2],
+    "out_channels": [8, 32], "activations": ["relu", "relu"],
+    "pool_type": "max", "invert_pool_inputs": True,
+    "pool_kernels": [2, 2], "pool_strides": [2, 2], "conv_function": "conv2d",
+}
+FC = {
+    "num_layers": 4, "layer_sizes": [1024, 128, 16, 1],
+    "activations": ["leaky_relu", "leaky_relu", "leaky_relu", "tanh"],
+    "dropout_p": 0.1,
+}
+
+
+def load_frames(h5_path, n_frames):
+    import h5py
+
+    with h5py.File(h5_path, "r") as f:
+        key = sorted(f.keys())[0]
+        evs = f[key]["evs"][:n_frames].astype(np.float32)
+        desvel = float(f[key]["desvel"][0])
+    return evs, desvel
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--h5", default="/data/evfly/data/datasets/simgen_forest_big.h5")
+    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--reference", default="/root/reference")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    import torch
+
+    sys.path.insert(0, os.path.join(args.reference, "learner"))
+    import learner_models as ref_models  # noqa: E402
+
+    from evfly_tpu.models import port
+    from evfly_tpu.models.composites import OrigUNet_w_VITFLY_ViTLSTM
+    from evfly_tpu.stream.pipeline import StreamingPipeline
+
+    evs, desvel = load_frames(args.h5, args.frames)
+    print(f"[PARITY] {len(evs)} closed-loop frames, desvel {desvel:.2f}")
+
+    # --- torch side: reference model, deployment-semantics loop ------------
+    ref = ref_models.OrigUNet_w_VITFLY_ViTLSTM(
+        num_in_channels=2, num_out_channels=1, num_recurrent=[1, 0],
+        enc_params=ENC, fc_params=FC, velpred=0, form_BEV=2,
+        evs_min_cutoff=0.0, skip_type="interp", device="cpu",
+        logger=lambda *_: None,
+    ).float().eval()
+    sd = torch.load(args.ckpt, map_location="cpu")
+    missing, unexpected = ref.load_state_dict(sd, strict=False)
+    assert not unexpected, f"unexpected keys: {unexpected[:5]}"
+    print(f"[PARITY] torch load: {len(missing)} missing (expected 0): {missing[:5]}")
+
+    torch_vels, torch_depths = [], []
+    h = [None, None]
+    h_vit = None
+    with torch.no_grad():
+        for frame in evs:
+            q = np.quantile(np.abs(frame), 0.97)
+            x = np.clip(frame / (q if q > 0 else 1.0), -1.0, 1.0)
+            xt = torch.from_numpy(x[None, None]).float()
+            dv = torch.full((1, 1), desvel)
+            vel, (depth, _up, (h, h_vit)) = ref([xt, dv, h, h_vit])
+            torch_vels.append(vel[0].numpy() * desvel)
+            torch_depths.append(depth[0, 0].numpy())
+
+    # --- TPU side: StreamingPipeline at parity precision --------------------
+    model = OrigUNet_w_VITFLY_ViTLSTM(
+        num_in_channels=2, num_out_channels=1, num_recurrent=[1, 0],
+        enc_params=ENC, fc_params=FC, input_shape=[1, 1, 260, 346],
+        velpred=0, form_BEV=2, evs_min_cutoff=0.0, skip_type="interp",
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    params = port.load_into(params, port.load_state_dict(args.ckpt))
+    pipe = StreamingPipeline(model, params, desvel=desvel)
+
+    jax_vels, jax_depths = [], []
+    for frame in evs:
+        v, d = pipe.step_frame(jnp.asarray(frame))
+        jax_vels.append(np.asarray(v))
+        jax_depths.append(np.asarray(d))
+
+    dv = np.abs(np.asarray(torch_vels) - np.asarray(jax_vels))
+    dd = np.abs(np.asarray(torch_depths) - np.asarray(jax_depths))
+    report = {
+        "frames": len(evs),
+        "desvel": desvel,
+        "max_abs_dvel": float(dv.max()),
+        "mean_abs_dvel": float(dv.mean()),
+        "depth_mae": float(dd.mean()),
+        "depth_max": float(dd.max()),
+        "contract_1e3_desvel": bool(dv.max() < 1e-3 * desvel),
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
