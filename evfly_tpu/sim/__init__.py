@@ -1,6 +1,7 @@
 from .obstacles import ObstacleField, generate_forest, load_obstacle_csv, save_obstacle_csv
 from .expert import expert_velocity_command
 from .dynamics import QuadState, VelocityTrackingQuad
+from .rigid_body import QuadrotorParams, RigidBodyQuad
 from .evaluator import TrialEvaluator
 from .closed_loop import run_trial, rollout_to_trajectory
 from .batched import BatchedQuads, run_trials_batched
@@ -16,6 +17,8 @@ __all__ = [
     "expert_velocity_command",
     "QuadState",
     "VelocityTrackingQuad",
+    "RigidBodyQuad",
+    "QuadrotorParams",
     "TrialEvaluator",
     "run_trial",
     "rollout_to_trajectory",

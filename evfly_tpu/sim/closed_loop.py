@@ -48,13 +48,19 @@ def run_trial(
     rng: Optional[np.random.Generator] = None,
     evaluator: Optional[TrialEvaluator] = None,
     log_images: bool = True,
+    dynamics: str = "velocity",           # 'velocity' | 'rigid' (full stack)
 ) -> Dict:
     """Run one trial; returns {'summary', 'log', 'frames'} dict."""
     import jax.numpy as jnp
 
     if rng is None:
         rng = np.random.default_rng()
-    quad = VelocityTrackingQuad()
+    if dynamics == "rigid":
+        from .rigid_body import RigidBodyQuad
+
+        quad = RigidBodyQuad()
+    else:
+        quad = VelocityTrackingQuad()
     ev = evaluator if evaluator is not None else TrialEvaluator()
     ev.reset()
 

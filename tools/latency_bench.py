@@ -93,12 +93,41 @@ def main():
         samples.append((time.perf_counter() - t0) * 1e3)
     p50_sync = float(np.percentile(samples, 50))
 
+    # multi-stream serving throughput: G independent recurrent policies per
+    # vmapped dispatch (BASELINE config 5 — "multi-stream batched") through
+    # the FULL joint model on difflog frames
+    from evfly_tpu.stream.pipeline import BatchedStreamingPipeline
+
+    multi = {}
+    for G in (16, 64, 128):
+        pipe = BatchedStreamingPipeline(
+            model, params, num_streams=G, desvel=4.0, fast_percentile=True
+        )
+        frames = jnp.asarray(
+            (rng.integers(-3, 4, size=(G, H, W)) * (rng.random((G, H, W)) < 0.08)) * 0.2,
+            jnp.float32,
+        )
+        vels, _ = pipe.step_frames(frames)
+        jax.device_get(vels)
+        K2 = 30
+        t0 = time.perf_counter()
+        for _ in range(K2):
+            vels, _ = pipe.step_frames(frames)
+        jax.device_get(vels)
+        dt = time.perf_counter() - t0
+        multi[f"streams_{G}"] = {
+            "steps_per_sec": round(G * K2 / dt, 1),
+            "ms_per_batched_step": round(dt / K2 * 1e3, 3),
+            "streams_at_15hz": int(G * K2 / dt / 15.0),
+        }
+
     print(
         json.dumps(
             {
                 "device_compute_ms_per_step": round(compute_ms, 3),
                 "sync_roundtrip_p50_ms": round(p50_sync, 3),
                 "target_ms": 5.0,
+                "multi_stream_joint": multi,
             }
         )
     )
