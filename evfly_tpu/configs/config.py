@@ -97,6 +97,10 @@ _SPEC = {
     # instead of one synchronous loss fetch per chunk). Training-math
     # equivalent to the per-chunk path; see stepfn.make_scanned_traj_step.
     "traj_scan": (bool, False, True),
+    # fuse the WHOLE epoch (train and val) into one device dispatch: scan
+    # over trajectories with the per-trajectory LR schedule computed on
+    # device. Supersedes traj_scan when device data is resident.
+    "epoch_scan": (bool, False, True),
     # store the device-resident training frames quantized (int8 events in
     # [-1,1]/127 steps, uint8 depths in [0,1]/255 steps): 4-8x less HBM and
     # host->device transfer over the tunnel. <=0.8% frame error; training

@@ -444,7 +444,16 @@ def dataloader(
         elif rescale_evs == -1.0:
             for i, ev in enumerate(evs_list):
                 flat = np.abs(ev).reshape(ev.shape[0], -1)
-                maxvals = np.quantile(flat, 0.97, axis=1)  # linear interp == torch
+                # linear-interpolated 97th percentile (== torch.quantile ==
+                # np.quantile) via np.partition on the two bracketing order
+                # statistics: exact, O(n) instead of the full sort — the
+                # per-frame quantile dominated dataset load time at 30k+
+                # frames
+                n = flat.shape[1]
+                h = 0.97 * (n - 1)
+                k = int(np.floor(h))
+                part = np.partition(flat, (k, min(k + 1, n - 1)), axis=1)
+                maxvals = part[:, k] + (h - k) * (part[:, min(k + 1, n - 1)] - part[:, k])
                 # all-zero frames (e.g. before first motion) would divide by 0
                 maxvals = np.where(maxvals > 0, maxvals, 1.0)
                 evs_list[i] = np.clip(ev / maxvals[:, None, None], -1.0, 1.0)

@@ -527,8 +527,103 @@ class Learner:
         assert not math.isnan(loss), f"[TRAIN] Loss is NaN at iteration {it}"
         return loss, np.asarray(values_sum), float(gn)
 
-    def _scan_C(self, B: int) -> int:
-        return int(max(1, -(-(self._max_tlen("train") - 1) // B)))
+    def _scan_C(self, B: int, mode: str = "train") -> int:
+        return int(max(1, -(-(self._max_tlen(mode) - 1) // B)))
+
+    # ------------------------------------------------------ epoch-scan path
+
+    def _epoch_idxs(self, mode: str, traj_starts, traj_lengths, traj_ids,
+                    ev_offsets, B: int, C: int):
+        """(T, C) chunk index arrays for one epoch; rows padded with the
+        row's first chunk and n_valid == 0 (cond-skipped on device)."""
+        T = len(traj_starts)
+        start = np.zeros((T, C), np.int32)
+        ev_start = np.zeros((T, C), np.int32)
+        n_valid = np.zeros((T, C), np.int32)
+        for t in range(T):
+            ids = np.arange(traj_starts[t] + 1, traj_starts[t] + traj_lengths[t])
+            for ci, i in enumerate(range(0, len(ids), B)):
+                chunk = ids[i : i + B]
+                start[t, ci] = chunk[0]
+                ev_start[t, ci] = ev_offsets[traj_ids[t]] + (chunk[0] - 1 - traj_starts[t])
+                n_valid[t, ci] = len(chunk)
+            n_chunks = -(-len(ids) // B) if len(ids) else 0
+            start[t, n_chunks:] = start[t, 0]
+            ev_start[t, n_chunks:] = ev_start[t, 0]
+        return {
+            "start": jnp.asarray(start),
+            "ev_start": jnp.asarray(ev_start),
+            "n_valid": jnp.asarray(n_valid),
+        }
+
+    def _get_epoch_step(self, B: int, C: int):
+        from .stepfn import make_epoch_train_step
+
+        key = ("epoch", B, C)
+        if key in self._step_cache:
+            return self._step_cache[key]
+        step = jax.jit(
+            make_epoch_train_step(
+                self.model, self._kind(), self.optimizer,
+                self.loss_weights, self.optional_loss_param,
+                data_augmentation=self.cfg.data_augmentation != 0.0,
+                num_out_channels=self.cfg.num_out_channels,
+                num_in_channels=self.cfg.num_in_channels,
+                B=B,
+                input_frame_scale=self.cfg.input_frame_scale,
+                lr0=self.lr,
+                warm_iters=self.lr_warmup_iters,
+                lr_decay=bool(self.cfg.lr_decay),
+                decay_denom=float(self.N_eps * max(self.num_training_steps, 1)),
+            ),
+            donate_argnums=(0, 1),
+        )
+        self._step_cache[key] = step
+        return step
+
+    def _get_epoch_eval_step(self, B: int, C: int):
+        from .stepfn import make_epoch_eval_step
+
+        key = ("epoch_eval", B, C)
+        if key in self._step_cache:
+            return self._step_cache[key]
+        step = jax.jit(
+            make_epoch_eval_step(
+                self.model, self._kind(), self.loss_weights, self.optional_loss_param,
+                num_out_channels=self.cfg.num_out_channels,
+                num_in_channels=self.cfg.num_in_channels,
+                B=B,
+                input_frame_scale=self.cfg.input_frame_scale,
+            )
+        )
+        self._step_cache[key] = step
+        return step
+
+    def _run_epoch_scanned(self, traj_starts, traj_lengths, traj_ids, B: int):
+        """One training epoch = ONE device dispatch (stepfn
+        .make_epoch_train_step).  Returns (ep_loss, ep_terms, gradnorm)."""
+        dd = self._get_device_data("train", B)
+        device_data, ev_offsets = dd
+        C = self._scan_C(B, "train")
+        step = self._get_epoch_step(B, C)
+        idxs = self._epoch_idxs("train", traj_starts, traj_lengths, traj_ids,
+                                ev_offsets, B, C)
+        T = len(traj_starts)
+        self._rng, k = jax.random.split(self._rng)
+        rngs = jax.random.split(k, T)
+        self.params, self.opt_state, losses, values, gns = step(
+            self.params, self.opt_state, device_data, idxs, rngs,
+            jnp.asarray(self.total_its, jnp.int32),
+        )
+        losses = np.asarray(losses)
+        assert not np.isnan(losses).any(), "[TRAIN] NaN loss in epoch scan"
+        self.total_its += T
+        self._last_lr = self.lr_scheduler(self.total_its - 1)
+        return (
+            float(losses.sum()) / max(T, 1),
+            np.asarray(values).sum(0) / max(T, 1),
+            float(np.asarray(gns).mean()),
+        )
 
     # -------------------------------------------------------------- run_model
 
@@ -804,6 +899,16 @@ class Learner:
                 )
                 self.total_its += self.num_training_steps
                 new_lr = self._last_lr
+            elif (
+                c.epoch_scan
+                and self.batch_size > 0
+                and self._get_device_data("train", self._chunk_B("train")) is not None
+            ):
+                B = self._chunk_B("train")
+                ep_loss, ep_loss_terms, gradnorm = self._run_epoch_scanned(
+                    traj_starts, traj_lengths, shuffled, B
+                )
+                new_lr = self._last_lr
             else:
                 B = self._chunk_B("train")
                 use_scan = (
@@ -871,16 +976,37 @@ class Learner:
         ep_loss_terms = []
         val_traj_starts = self.val.traj_starts
 
-        for it in range(self.num_val_steps):
-            (loss, loss_terms), _ = self.run_model(
-                it, val_traj_starts, self.val.trajlength, np.arange(len(val_traj_starts)), "val",
-                batch_size=self.batch_size,
+        B = self._chunk_B("val") if self.batch_size > 0 else 0
+        dd = (
+            self._get_device_data("val", B)
+            if (c.epoch_scan and self.batch_size > 0)
+            else None
+        )
+        if dd is not None:
+            # whole validation epoch in one dispatch (epoch-scan path)
+            device_data, ev_offsets = dd
+            C = self._scan_C(B, "val")
+            step = self._get_epoch_eval_step(B, C)
+            T = self.num_val_steps
+            idxs = self._epoch_idxs(
+                "val", val_traj_starts, self.val.trajlength, np.arange(T),
+                ev_offsets, B, C,
             )
-            ep_loss += loss
-            ep_loss_terms.append(loss_terms)
+            self._rng, k = jax.random.split(self._rng)
+            losses, values = step(self.params, device_data, idxs, jax.random.split(k, T))
+            ep_loss = float(np.asarray(losses).sum()) / max(T, 1)
+            ep_loss_terms = np.asarray(values).mean(0) if T else np.zeros(2)
+        else:
+            for it in range(self.num_val_steps):
+                (loss, loss_terms), _ = self.run_model(
+                    it, val_traj_starts, self.val.trajlength, np.arange(len(val_traj_starts)), "val",
+                    batch_size=self.batch_size,
+                )
+                ep_loss += loss
+                ep_loss_terms.append(loss_terms)
 
-        ep_loss /= max(self.num_val_steps, 1)
-        ep_loss_terms = np.mean(ep_loss_terms, axis=0) if ep_loss_terms else np.zeros(2)
+            ep_loss /= max(self.num_val_steps, 1)
+            ep_loss_terms = np.mean(ep_loss_terms, axis=0) if ep_loss_terms else np.zeros(2)
 
         # first-call initialization (keyed off state, not epoch number, so
         # out-of-sequence validation calls never reset best tracking)

@@ -261,6 +261,123 @@ def make_scanned_traj_step(model, kind, optimizer, loss_weights, optional_loss_p
     return traj_step
 
 
+def make_epoch_train_step(model, kind, optimizer, loss_weights, optional_loss_param,
+                          data_augmentation=False, num_out_channels=1,
+                          num_in_channels=2, B=32, input_frame_scale=1.0,
+                          lr0=1e-4, warm_iters=0, lr_decay=False,
+                          decay_denom=1.0):
+    """One jitted dispatch per EPOCH: scan over trajectories, each an inner
+    scan over chunk steps.
+
+    The per-trajectory dispatch still costs ~0.9 s on the tunnel (large
+    cached programs ship args per call); at 140 trajectories that is the
+    whole epoch.  Here the trajectory loop moves on device too, including
+    the reference's per-trajectory LR schedule (learner.py:622-630 computed
+    in jnp from the iteration counter), so an epoch is ONE dispatch + ONE
+    sync.
+
+    Signature: (params, opt_state, data, idxs, rngs, it0) ->
+    (params, opt_state, losses (T,), values (T, n_terms), gradnorms (T,))
+    with idxs {'start','ev_start','n_valid'} each (T, C) int32, rngs (T, 2),
+    it0 the epoch's starting total_its.
+    """
+    step = make_train_step(
+        model, kind, optimizer, loss_weights, optional_loss_param,
+        data_augmentation, num_out_channels,
+        batch_fn=make_batch_slicer(B, num_in_channels, num_out_channels),
+        input_frame_scale=input_frame_scale,
+    )
+    n_values = 2
+
+    def lr_at(it):
+        it = it.astype(jnp.float32)
+        warm = (0.9 * lr0) / max(warm_iters, 1) * it + 0.1 * lr0
+        decayed = lr0 * jnp.where(
+            jnp.asarray(lr_decay),
+            0.1 ** ((it - warm_iters) / decay_denom),
+            1.0,
+        )
+        return jnp.where(it < warm_iters, warm, decayed)
+
+    def epoch_step(params, opt_state, data, idxs, rngs, it0):
+        def chunk_body(carry, x):
+            idx, k = x
+
+            def do(carry):
+                params, opt_state = carry
+                params, opt_state, loss, values, gn = step(params, opt_state, data, idx, k)
+                return (params, opt_state), (loss, values, gn)
+
+            def skip(carry):
+                return carry, (jnp.zeros(()), jnp.zeros((n_values,)), jnp.zeros(()))
+
+            return jax.lax.cond(idx["n_valid"] > 0, do, skip, carry)
+
+        def traj_body(carry, x):
+            params, opt_state = carry
+            idxs_t, rng, it = x
+            hp = dict(opt_state.hyperparams)
+            hp["learning_rate"] = lr_at(it)
+            opt_state = opt_state._replace(hyperparams=hp)
+            C = idxs_t["start"].shape[0]
+            ks = jax.random.split(rng, C)
+            (params, opt_state), (losses, values, gns) = jax.lax.scan(
+                chunk_body, (params, opt_state), (idxs_t, ks)
+            )
+            n_real = jnp.maximum((idxs_t["n_valid"] > 0).sum(), 1)
+            return (params, opt_state), (losses.sum(), values.sum(0), gns.sum() / n_real)
+
+        T = idxs["start"].shape[0]
+        its = it0 + jnp.arange(T, dtype=jnp.int32)
+        (params, opt_state), (losses, values, gns) = jax.lax.scan(
+            traj_body, (params, opt_state), (idxs, rngs, its)
+        )
+        return params, opt_state, losses, values, gns
+
+    return epoch_step
+
+
+def make_epoch_eval_step(model, kind, loss_weights, optional_loss_param,
+                         num_out_channels=1, num_in_channels=2, B=32,
+                         input_frame_scale=1.0):
+    """Whole validation epoch as one dispatch: scan over (T, C) chunk index
+    arrays, masked-skip padding, no prediction outputs (the plotting paths
+    keep run_model's per-chunk variant).  Returns (losses (T,), values
+    (T, n_terms))."""
+    forward_loss = make_forward_loss(
+        model, kind, loss_weights, optional_loss_param,
+        data_augmentation=False, num_out_channels=num_out_channels, train=False,
+        input_frame_scale=input_frame_scale,
+    )
+    batch_fn = make_batch_slicer(B, num_in_channels, num_out_channels)
+    n_values = 2
+
+    def epoch_eval(params, data, idxs, rngs):
+        def chunk_body(_, x):
+            idx, k = x
+
+            def do(_):
+                loss, (values, _u, _pv, _pd) = forward_loss(params, batch_fn(data, idx), k)
+                return (), (loss, values)
+
+            def skip(_):
+                return (), (jnp.zeros(()), jnp.zeros((n_values,)))
+
+            return jax.lax.cond(idx["n_valid"] > 0, do, skip, ())
+
+        def traj_body(_, x):
+            idxs_t, rng = x
+            C = idxs_t["start"].shape[0]
+            ks = jax.random.split(rng, C)
+            _, (losses, values) = jax.lax.scan(chunk_body, (), (idxs_t, ks))
+            return (), (losses.sum(), values.sum(0))
+
+        _, (losses, values) = jax.lax.scan(traj_body, (), (idxs, rngs))
+        return losses, values
+
+    return epoch_eval
+
+
 def make_eval_step(model, kind, loss_weights, optional_loss_param, num_out_channels=1,
                    batch_fn=None, input_frame_scale=1.0):
     forward_loss = make_forward_loss(

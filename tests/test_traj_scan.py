@@ -38,11 +38,12 @@ def _mixed_length_dataset(tmp_path, rng, lengths=(19, 10, 26), H=60, W=90):
     return path
 
 
-def _train(tmp_path, data_path, traj_scan, sub):
+def _train(tmp_path, data_path, traj_scan, sub, epoch_scan=False):
     # VITFLY_ConvNet: dropout-free, so the two paths' different rng-split
     # sequences cannot perturb the math being compared
     cfg = _base_config(
         tmp_path, data_path, ws_suffix=f"_{sub}", traj_scan=traj_scan,
+        epoch_scan=epoch_scan,
         N_eps=2, data_augmentation=0.0, seed=5, model_type=["VITFLY_ConvNet"],
     )
     learner = Learner(cfg)
@@ -72,4 +73,43 @@ def test_scanned_epochs_match_per_chunk(tmp_path, rng):
     for k in ls.params:
         np.testing.assert_allclose(
             np.asarray(ls.params[k]), np.asarray(lc.params[k]), atol=5e-4, err_msg=k
+        )
+
+
+def test_epoch_scan_matches_per_chunk(tmp_path, rng):
+    """Whole-epoch-on-device path (incl. the on-device LR schedule) computes
+    what the per-chunk host loop computes."""
+    data_path = _mixed_length_dataset(tmp_path, rng, lengths=(17, 9, 25))
+
+    le, losses_e = _train(tmp_path, data_path, traj_scan=False, epoch_scan=True, sub="ep")
+    lc, losses_c = _train(tmp_path, data_path, traj_scan=False, sub="chunk2")
+
+    assert len(losses_e) == len(losses_c) == 2
+    np.testing.assert_allclose(losses_e, losses_c, rtol=2e-4)
+    for k in le.params:
+        np.testing.assert_allclose(
+            np.asarray(le.params[k]), np.asarray(lc.params[k]), atol=5e-4, err_msg=k
+        )
+
+
+def test_epoch_scan_with_warmup_lr(tmp_path, rng):
+    """On-device LR schedule: warmup active (lr_warmup_epochs=1) — both
+    paths must still agree (the schedule is evaluated per trajectory)."""
+    data_path = _mixed_length_dataset(tmp_path, rng, lengths=(17, 9))
+
+    def run(epoch_scan, sub):
+        cfg = _base_config(
+            tmp_path, data_path, ws_suffix=f"_{sub}", traj_scan=False,
+            epoch_scan=epoch_scan, N_eps=3, data_augmentation=0.0, seed=5,
+            model_type=["VITFLY_ConvNet"], lr_warmup_epochs=1,
+        )
+        learner = Learner(cfg)
+        learner.train_loop()
+        return learner
+
+    le = run(True, "wlre")
+    lc = run(False, "wlrc")
+    for k in le.params:
+        np.testing.assert_allclose(
+            np.asarray(le.params[k]), np.asarray(lc.params[k]), atol=5e-4, err_msg=k
         )

@@ -172,7 +172,8 @@ def _as_epoch0(ckpt, tag):
 def cmd_joint(args):
     over = {}
     if args.resume:
-        over = dict(checkpoint_path=[args.resume], load_trainval=False)
+        # restore the checkpoint's own train/val split (no val leakage)
+        over = dict(checkpoint_path=[args.resume], load_trainval=True)
     elif args.d_ckpt and args.v_ckpt:
         over = dict(
             checkpoint_path=[_as_epoch0(args.d_ckpt, "d"), _as_epoch0(args.v_ckpt, "v")],
