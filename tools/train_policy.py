@@ -266,7 +266,15 @@ def cmd_dagger(args):
     trajs = []
     for i, res in enumerate(results):
         if len(res["depths"]) > 30:
-            trajs.append(rollout_to_trajectory(res, f"dagger_{i:04d}"))
+            traj = rollout_to_trajectory(res, f"dagger_{i:04d}")
+            # Crashes here happened under the POLICY's actions; the logged
+            # labels are the privileged expert's per-state commands, which
+            # stay valid supervision.  The dataloader's keep_collisions=False
+            # filter (reference semantics: drop bad EXPERT demonstrations)
+            # would otherwise discard exactly the covariate-shift states
+            # DAgger exists to capture — so clear the is_collide column.
+            traj["data"][:, -1] = 0.0
+            trajs.append(traj)
     h5 = opj(OUT, "data/datasets", f"{args.name}.h5")
     write_h5_dataset(h5, trajs)
     crashes = [r["summary"].get("number_crashes", -1) for r in results]
