@@ -35,14 +35,22 @@ if [ ! -f "$OUT/data/datasets/simgen_forest_planner.h5" ]; then
     --batch 16 --mode planner --name simgen_forest_planner --seed 200 || exit 1
 fi
 
-run pretrain_v python tools/train_policy.py pretrain_v --epochs 12 || exit 1
+# phases are idempotent: a phase whose log already ends in a checkpoint
+# pick is skipped on re-runs (crash/OOM recovery re-enters mid-pipeline)
+if [ -z "$(pick "$LOG/pretrain_v.log" 2>/dev/null)" ]; then
+  run pretrain_v python tools/train_policy.py pretrain_v --epochs 12 || exit 1
+fi
 V_CKPT=$(pick "$LOG/pretrain_v.log")
-run pretrain_d python tools/train_policy.py pretrain_d --epochs 12 || exit 1
+if [ -z "$(pick "$LOG/pretrain_d.log" 2>/dev/null)" ]; then
+  run pretrain_d python tools/train_policy.py pretrain_d --epochs 12 || exit 1
+fi
 D_CKPT=$(pick "$LOG/pretrain_d.log")
 echo "V=$V_CKPT D=$D_CKPT"
 
-run joint python tools/train_policy.py joint --epochs 25 \
-  --d-ckpt "$D_CKPT" --v-ckpt "$V_CKPT" || exit 1
+if [ -z "$(pick "$LOG/joint.log" 2>/dev/null)" ]; then
+  run joint python tools/train_policy.py joint --epochs 25 \
+    --d-ckpt "$D_CKPT" --v-ckpt "$V_CKPT" || exit 1
+fi
 J_CKPT=$(pick "$LOG/joint.log")
 echo "JOINT=$J_CKPT"
 

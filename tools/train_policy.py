@@ -127,6 +127,11 @@ def cmd_pretrain_d(args):
     cfg = _cfg(
         OUT, "pretrain_d", DATASETS,
         model_type=["OrigUNet"],
+        # chunk length 16 (not 32): the OrigUNet backward stash for a
+        # 32-frame chunk at 260x346 plus the ~9.2 GB device-resident
+        # dataset exceeded v5e HBM (observed RESOURCE_EXHAUSTED); halving
+        # the chunk halves the stash.  Validation (stash-free) fits at 32.
+        batch_size=16,
         velpred=0,
         num_in_channels=2,           # event input
         num_out_channels=1,
@@ -144,6 +149,7 @@ def _joint_cfg(args, **over):
     datasets = DATASETS + (args.extra_data or [])
     kw = dict(
         model_type=["OrigUNet", "VITFLY_ViTLSTM"],
+        batch_size=16,               # HBM headroom — see cmd_pretrain_d
         velpred=0,
         num_in_channels=2,
         num_out_channels=1,
