@@ -132,6 +132,11 @@ def cmd_pretrain_d(args):
         # dataset exceeded v5e HBM (observed RESOURCE_EXHAUSTED); halving
         # the chunk halves the stash.  Validation (stash-free) fits at 32.
         batch_size=16,
+        # per-trajectory scan, not whole-epoch scan: the epoch-sized
+        # OrigUNet program crashed the TPU worker ("kernel fault") where
+        # the trajectory-sized program is the round-1-proven path; the
+        # cost is one host sync per trajectory (~140/epoch).
+        epoch_scan=False,
         velpred=0,
         num_in_channels=2,           # event input
         num_out_channels=1,
@@ -150,6 +155,7 @@ def _joint_cfg(args, **over):
     kw = dict(
         model_type=["OrigUNet", "VITFLY_ViTLSTM"],
         batch_size=16,               # HBM headroom — see cmd_pretrain_d
+        epoch_scan=False,            # worker-crash workaround — see cmd_pretrain_d
         velpred=0,
         num_in_channels=2,
         num_out_channels=1,
