@@ -30,6 +30,11 @@ run() { # run <name> <cmd...>: log to $LOG/<name>.log, echo rc + tail
   return $rc
 }
 
+if [ ! -f "$OUT/data/datasets/simgen_forest_big.h5" ]; then
+  run datagen_big python tools/datagen.py --out "$OUT" --trials 160 \
+    --batch 20 --mode state --name simgen_forest_big --seed 100 || exit 1
+fi
+
 if [ ! -f "$OUT/data/datasets/simgen_forest_planner.h5" ]; then
   run datagen_planner python tools/datagen.py --out "$OUT" --trials 48 \
     --batch 16 --mode planner --name simgen_forest_planner --seed 200 || exit 1
