@@ -1,0 +1,47 @@
+#!/bin/bash
+# Post-pipeline verification chain (run AFTER tools/run_policy_pipeline.sh
+# completes; one JAX process at a time on this machine — CLAUDE.md):
+#   1. closed-loop torch-vs-TPU command parity on the trained checkpoint
+#      (VERDICT #6 substitute)
+#   2. TPU benchmark (bench.py, exercises the fused voxelize+percentile path)
+#   3. full CPU test suite
+#   4. multi-chip dryrun (virtual 8-device CPU mesh)
+#
+#   nohup bash tools/run_followups.sh > /tmp/followups.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+OUT=/data/evfly
+LOG=/tmp/followups
+mkdir -p "$LOG"
+
+pick() { grep -o -- '-> .*\.pth' "$1" | tail -1 | cut -c4-; }
+
+run() {
+  local name=$1; shift
+  echo "=== $(date -u +%H:%M:%S) $name: $*"
+  "$@" > "$LOG/$name.log" 2>&1
+  local rc=$?
+  echo "=== $(date -u +%H:%M:%S) $name rc=$rc"
+  tail -4 "$LOG/$name.log"
+  sleep 20
+  return $rc
+}
+
+# newest trained checkpoint: prefer joint_dagger, else joint
+CKPT=$(pick "$OUT/pipeline_logs/joint_dagger.log" 2>/dev/null)
+[ -z "$CKPT" ] && CKPT=$(pick "$OUT/pipeline_logs/joint.log" 2>/dev/null)
+if [ -n "$CKPT" ] && [ -f "$CKPT" ]; then
+  run parity_closed_loop python tools/torch_parity_closed_loop.py \
+    --ckpt "$CKPT" --frames 120
+else
+  echo "=== no trained checkpoint found; skipping parity_closed_loop"
+fi
+
+run bench python bench.py
+
+run pytest python -m pytest tests/ -x -q
+
+run dryrun env JAX_PLATFORMS=cpu python -c \
+  "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+echo "=== followups complete"
