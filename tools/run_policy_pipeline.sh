@@ -36,24 +36,27 @@ if [ ! -f "$OUT/data/datasets/simgen_forest_big.h5" ]; then
 fi
 
 if [ ! -f "$OUT/data/datasets/simgen_forest_planner.h5" ]; then
-  run datagen_planner python tools/datagen.py --out "$OUT" --trials 48 \
-    --batch 16 --mode planner --name simgen_forest_planner --seed 200 || exit 1
+  # batch 20 matches the datagen_big program shape: the lockstep-rollout
+  # XLA programs are shape-keyed on G, so G=20 reuses the compiled binary
+  # (server-side compiles cost 10-25 min each on a cold cache)
+  run datagen_planner python tools/datagen.py --out "$OUT" --trials 40 \
+    --batch 20 --mode planner --name simgen_forest_planner --seed 200 || exit 1
 fi
 
 # phases are idempotent: a phase whose log already ends in a checkpoint
 # pick is skipped on re-runs (crash/OOM recovery re-enters mid-pipeline)
 if [ -z "$(pick "$LOG/pretrain_v.log" 2>/dev/null)" ]; then
-  run pretrain_v python tools/train_policy.py pretrain_v --epochs 12 || exit 1
+  run pretrain_v python tools/train_policy.py pretrain_v --epochs 8 || exit 1
 fi
 V_CKPT=$(pick "$LOG/pretrain_v.log")
 if [ -z "$(pick "$LOG/pretrain_d.log" 2>/dev/null)" ]; then
-  run pretrain_d python tools/train_policy.py pretrain_d --epochs 12 || exit 1
+  run pretrain_d python tools/train_policy.py pretrain_d --epochs 8 || exit 1
 fi
 D_CKPT=$(pick "$LOG/pretrain_d.log")
 echo "V=$V_CKPT D=$D_CKPT"
 
 if [ -z "$(pick "$LOG/joint.log" 2>/dev/null)" ]; then
-  run joint python tools/train_policy.py joint --epochs 25 \
+  run joint python tools/train_policy.py joint --epochs 16 \
     --d-ckpt "$D_CKPT" --v-ckpt "$V_CKPT" || exit 1
 fi
 J_CKPT=$(pick "$LOG/joint.log")
@@ -65,7 +68,7 @@ run eval_joint python tools/train_policy.py eval --ckpt "$J_CKPT" \
 run dagger python tools/train_policy.py dagger --ckpt "$J_CKPT" \
   --trials 40 --batch 20 || exit 1
 
-run joint_dagger python tools/train_policy.py joint --epochs 12 \
+run joint_dagger python tools/train_policy.py joint --epochs 8 \
   --logsub joint_dagger --resume "$J_CKPT" --extra-data dagger_r1 || exit 1
 JD_CKPT=$(pick "$LOG/joint_dagger.log")
 echo "JOINT_DAGGER=$JD_CKPT"
