@@ -1,19 +1,39 @@
 #!/bin/bash
-# Round-2 policy-quality pipeline (VERDICT round-2 item #2): the reference's
+# Round-3 policy-quality pipeline (VERDICT round-2 item #1): the reference's
 # own recipe — separate D(theta)/V(phi) pretraining merged via
 # combine_state_dicts (ref learner.py:435-454), joint fine-tune, protocol
 # eval, then a DAgger round (Ross et al. 2011) against the privileged
 # expert.  Phases run serially in ONE process chain (one JAX process at a
 # time on this machine — CLAUDE.md).
 #
-#   nohup bash tools/run_policy_pipeline.sh > /tmp/pipeline.log 2>&1 &
+#   PIPE_DEADLINE=<epoch-secs> nohup bash tools/run_policy_pipeline.sh > /tmp/pipeline.log 2>&1 &
 #
-# Assumes simgen_forest_big.h5 already generated (tools/datagen.py).
+# Round-budget guards (VERDICT r2 "Next round" #1 and #3):
+#   * PIPE_DEADLINE (default: launch+8h) — before each phase the remaining
+#     budget trims epoch/trial counts so a protocol EVAL always runs, even
+#     of a weaker checkpoint.  An eval of a weak model beats no numbers.
+#   * touch /tmp/pipeline_stop — clean exit between phases, releasing the
+#     one-JAX-process slot (e.g. before the driver's round-end bench).
+#   * every produced eval json + final checkpoint is copied into
+#     /root/repo/artifacts/ the moment it exists (/data is wiped between
+#     rounds; the repo is the only durable store).
 set -u
 cd "$(dirname "$0")/.."
 OUT=/data/evfly
 LOG=$OUT/pipeline_logs
-mkdir -p "$LOG"
+ART=/root/repo/artifacts
+mkdir -p "$LOG" "$ART"
+
+DEADLINE=${PIPE_DEADLINE:-$(( $(date +%s) + 8*3600 ))}
+left() { echo $(( DEADLINE - $(date +%s) )); }
+
+guard() { # guard <phase>: honor the stop sentinel between phases
+  if [ -f /tmp/pipeline_stop ]; then
+    echo "=== $(date -u +%H:%M:%S) stop sentinel present, exiting before $1"
+    exit 0
+  fi
+  echo "=== $(date -u +%H:%M:%S) budget left before $1: $(( $(left) / 60 )) min"
+}
 
 pick() { # final checkpoint path printed by train_policy._train
   grep -o -- '-> .*\.pth' "$1" | tail -1 | cut -c4-
@@ -30,7 +50,12 @@ run() { # run <name> <cmd...>: log to $LOG/<name>.log, echo rc + tail
   return $rc
 }
 
+keep() { # keep <src> [dstname]: copy an artifact into the durable repo dir
+  [ -e "$1" ] && cp -f "$1" "$ART/${2:-$(basename "$1")}" && echo "kept $1"
+}
+
 if [ ! -f "$OUT/data/datasets/simgen_forest_big.h5" ]; then
+  guard datagen_big
   run datagen_big python tools/datagen.py --out "$OUT" --trials 160 \
     --batch 20 --mode state --name simgen_forest_big --seed 100 || exit 1
 fi
@@ -39,6 +64,7 @@ if [ ! -f "$OUT/data/datasets/simgen_forest_planner.h5" ]; then
   # batch 20 matches the datagen_big program shape: the lockstep-rollout
   # XLA programs are shape-keyed on G, so G=20 reuses the compiled binary
   # (server-side compiles cost 10-25 min each on a cold cache)
+  guard datagen_planner
   run datagen_planner python tools/datagen.py --out "$OUT" --trials 40 \
     --batch 20 --mode planner --name simgen_forest_planner --seed 200 || exit 1
 fi
@@ -46,34 +72,61 @@ fi
 # phases are idempotent: a phase whose log already ends in a checkpoint
 # pick is skipped on re-runs (crash/OOM recovery re-enters mid-pipeline)
 if [ -z "$(pick "$LOG/pretrain_v.log" 2>/dev/null)" ]; then
+  guard pretrain_v
   run pretrain_v python tools/train_policy.py pretrain_v --epochs 8 || exit 1
 fi
 V_CKPT=$(pick "$LOG/pretrain_v.log")
 if [ -z "$(pick "$LOG/pretrain_d.log" 2>/dev/null)" ]; then
+  guard pretrain_d
   run pretrain_d python tools/train_policy.py pretrain_d --epochs 8 || exit 1
 fi
 D_CKPT=$(pick "$LOG/pretrain_d.log")
 echo "V=$V_CKPT D=$D_CKPT"
 
 if [ -z "$(pick "$LOG/joint.log" 2>/dev/null)" ]; then
-  run joint python tools/train_policy.py joint --epochs 16 \
+  guard joint
+  JE=16
+  [ "$(left)" -lt 14400 ] && JE=10   # <4h left: trim
+  [ "$(left)" -lt  9000 ] && JE=6    # <2.5h left: trim hard
+  run joint python tools/train_policy.py joint --epochs $JE \
     --d-ckpt "$D_CKPT" --v-ckpt "$V_CKPT" || exit 1
 fi
 J_CKPT=$(pick "$LOG/joint.log")
 echo "JOINT=$J_CKPT"
+keep "$J_CKPT" joint_final.pth
 
+guard eval_joint
+ET=20; [ "$(left)" -lt 5400 ] && ET=10   # <1.5h left: fewer trials
 run eval_joint python tools/train_policy.py eval --ckpt "$J_CKPT" \
-  --trials 20 --batch 20 --out-json "$OUT/eval_joint.json"
+  --trials $ET --batch "$ET" --out-json "$OUT/eval_joint.json"
+keep "$OUT/eval_joint.json"
 
-run dagger python tools/train_policy.py dagger --ckpt "$J_CKPT" \
-  --trials 40 --batch 20 || exit 1
+# DAgger round only if >=2.5h remain: a finished eval_joint beats a
+# half-trained dagger checkpoint with no eval.
+if [ "$(left)" -lt 9000 ]; then
+  echo "=== $(date -u +%H:%M:%S) budget: skipping dagger round ($(left)s left)"
+  echo "=== pipeline complete (trimmed)"
+  exit 0
+fi
 
-run joint_dagger python tools/train_policy.py joint --epochs 8 \
-  --logsub joint_dagger --resume "$J_CKPT" --extra-data dagger_r1 || exit 1
+if [ -z "$(pick "$LOG/joint_dagger.log" 2>/dev/null)" ]; then
+  guard dagger
+  run dagger python tools/train_policy.py dagger --ckpt "$J_CKPT" \
+    --trials 40 --batch 20 || exit 1
+
+  guard joint_dagger
+  DE=8; [ "$(left)" -lt 7200 ] && DE=4
+  run joint_dagger python tools/train_policy.py joint --epochs $DE \
+    --logsub joint_dagger --resume "$J_CKPT" --extra-data dagger_r1 || exit 1
+fi
 JD_CKPT=$(pick "$LOG/joint_dagger.log")
 echo "JOINT_DAGGER=$JD_CKPT"
+keep "$JD_CKPT" joint_dagger_final.pth
 
+guard eval_dagger
+ET=20; [ "$(left)" -lt 5400 ] && ET=10
 run eval_dagger python tools/train_policy.py eval --ckpt "$JD_CKPT" \
-  --trials 20 --batch 20 --out-json "$OUT/eval_dagger.json"
+  --trials $ET --batch "$ET" --out-json "$OUT/eval_dagger.json"
+keep "$OUT/eval_dagger.json"
 
 echo "=== pipeline complete"
