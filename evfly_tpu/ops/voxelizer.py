@@ -151,6 +151,11 @@ def _make_hist_kernel_fused_quantile(q: float, iters: int):
         @pl.when(k == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
+            # q output is a full (8, 128) f32 tile — the TPU's minimum VMEM
+            # tile; a (1, 1) block is below the tiling floor and Mosaic
+            # rejects it on hardware (round-2 bench ValueError).  The scalar
+            # lives at [0, 0]; the rest of the tile is zero.
+            q_ref[:] = jnp.zeros_like(q_ref)
 
         E = yi_ref.shape[1]
         H, W = out_ref.shape
@@ -188,7 +193,10 @@ def _make_hist_kernel_fused_quantile(q: float, iters: int):
             # exact-zero snap for sparse frames (see percentile.py): the
             # k-th order statistic of a near-empty frame is 0, not max/2^iters
             n_zero = jnp.sum((a <= 0.0).astype(jnp.int32))
-            q_ref[0, 0] = jnp.where(n_zero >= kth, 0.0, hi)
+            qv = jnp.where(n_zero >= kth, 0.0, hi)
+            # broadcast the scalar over the whole tile: sub-tile scalar
+            # stores are another Mosaic hazard; the wrapper reads [0, 0]
+            q_ref[:] = jnp.full(q_ref.shape, qv, jnp.float32)
 
     return kernel
 
@@ -217,13 +225,13 @@ def _hist_pallas_fused_quantile(
         _make_hist_kernel_fused_quantile(q, iters),
         out_shape=(
             jax.ShapeDtypeStruct((H, W), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
         ),
         grid=(num_steps,),
         in_specs=[ev_spec, ev_spec, ev_spec],
         out_specs=(
             pl.BlockSpec((H, W), lambda i: (0, 0)),
-            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+            pl.BlockSpec((8, 128), lambda i: (0, 0)),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
