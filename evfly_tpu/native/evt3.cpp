@@ -91,7 +91,11 @@ void decode_words(const uint8_t* buf, size_t nbytes, Evt3Data& d,
     return (time_high_overflows << 24) |
            (static_cast<int64_t>(time_high) << 12) | time_low;
   };
+  // cap enforced inside push: a VECT_12/VECT_8 word can otherwise expand up
+  // to 11 events past max_events (advisor r2)
   auto push = [&](uint16_t ex, int8_t pol) {
+    if (max_events >= 0 && static_cast<int64_t>(d.t.size()) >= max_events)
+      return;
     d.t.push_back(now_us());
     d.x.push_back(ex);
     d.y.push_back(cur_y);
@@ -157,9 +161,14 @@ void* evt3_decode_buffer(const uint8_t* buf, long long nbytes,
 void* evt3_decode_file(const char* path, long long max_events) {
   std::FILE* f = std::fopen(path, "rb");
   if (!f) return nullptr;
-  std::fseek(f, 0, SEEK_END);
+  // ftell returns -1 for non-seekable/special paths; vector(size_t(-1))
+  // would throw bad_alloc inside the Python process (advisor r2)
+  if (std::fseek(f, 0, SEEK_END) != 0) { std::fclose(f); return nullptr; }
   long sz = std::ftell(f);
-  std::fseek(f, 0, SEEK_SET);
+  if (sz < 0 || std::fseek(f, 0, SEEK_SET) != 0) {
+    std::fclose(f);
+    return nullptr;
+  }
   std::vector<uint8_t> buf(static_cast<size_t>(sz));
   size_t got = std::fread(buf.data(), 1, buf.size(), f);
   std::fclose(f);
