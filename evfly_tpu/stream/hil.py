@@ -39,6 +39,11 @@ class HILResult:
     vel: np.ndarray        # (T, 3)
     cmd: np.ndarray        # (T, 3) guarded commands as issued
     guard_stopped: bool    # safety latch fired
+    # full 100 Hz vehicle-rate trajectory, shape (T*steps_per_tick, 14):
+    # [t, p3, v3, q_wxyz, w3] — the intra-tick dynamics the 15 Hz samples
+    # above subsample (advisor r2: run_batch already computes it; safety /
+    # overshoot assertions can now see between command ticks)
+    fine: np.ndarray = None
 
 
 def run_hil_episode(
@@ -72,6 +77,7 @@ def run_hil_episode(
     ps: List[np.ndarray] = []
     vs: List[np.ndarray] = []
     cs: List[np.ndarray] = []
+    fine: List[np.ndarray] = []
     state = quad.state
     for _ in range(n_ticks):
         x, y, pol = sensor(state.pos, clock_t[0])
@@ -84,6 +90,7 @@ def run_hil_episode(
 
         quad.set_velocity_command(cmd)
         hist = quad.run_batch(sim_dt, cmd[None, :], cmd_every=0, n_steps=steps_per_tick)
+        fine.append(hist)
         state = quad.state
         clock_t[0] += steps_per_tick * sim_dt
 
@@ -95,4 +102,5 @@ def run_hil_episode(
     return HILResult(
         t=np.asarray(ts), pos=np.asarray(ps), vel=np.asarray(vs),
         cmd=np.asarray(cs), guard_stopped=runner.safety_guard_triggered,
+        fine=np.concatenate(fine, axis=0) if fine else np.zeros((0, 14)),
     )

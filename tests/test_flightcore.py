@@ -43,9 +43,15 @@ def test_native_matches_numpy_random_commands(core):
             native.set_velocity_command(cmd)
         s_py = quad.step(dt)
         s_cc = native.step(dt)
-        np.testing.assert_allclose(s_cc.pos, s_py.pos, atol=1e-9)
-        np.testing.assert_allclose(s_cc.vel, s_py.vel, atol=1e-9)
-        np.testing.assert_allclose(s_cc.att, quad.q, atol=1e-9)
+        # NOT bit-identical by construction: numpy solves the allocation
+        # system per step (LU) while C++ uses a precomputed Gauss-Jordan
+        # inverse, and the RK4 combination orders differ — so error growth
+        # depends on BLAS/compiler.  Relative 1e-7 over 600 steps is tight
+        # enough to catch any modeling divergence yet toolchain-robust
+        # (advisor r2).
+        np.testing.assert_allclose(s_cc.pos, s_py.pos, rtol=1e-7, atol=1e-8)
+        np.testing.assert_allclose(s_cc.vel, s_py.vel, rtol=1e-7, atol=1e-8)
+        np.testing.assert_allclose(s_cc.att, quad.q, rtol=1e-7, atol=1e-8)
 
 
 def test_native_run_batch_matches_per_step(core):
