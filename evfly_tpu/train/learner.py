@@ -804,7 +804,24 @@ class Learner:
         analog — the reference trains single-GPU; see parallel/data_parallel
         .make_dp_chunked_train_step).  Returns (ep_loss, ep_terms, gradnorm);
         epoch statistics equal the single-device definitions: mean over
-        trajectories of within-trajectory chunk-loss sums."""
+        trajectories of within-trajectory chunk-loss sums.
+
+        Optimizer semantics vs the sequential path: ONE Adam step per G
+        chunks with gradients averaged over the real (non-padded) chunks —
+        the reference steps Adam per chunk.  Fewer, larger steps per epoch
+        is the standard DP batch-scaling tradeoff; measure it with
+        tools/dp_quality.py (same data/init, sequential vs dp8 loss curves)
+        before turning DP on for a new model family.
+
+        LR-schedule bookkeeping: the reference's scheduler is indexed by
+        TRAJECTORY count (num_training_steps per epoch).  A DP step consumes
+        n_real CHUNKS from arbitrary trajectories, so the fractional
+        iteration counter ``it_float`` advances by
+        n_real * (num_training_steps / n_chunks) per step — i.e. chunks are
+        converted to trajectory-equivalents so warmup/decay land at the same
+        epoch fractions as the sequential path.  int(it_float) feeds the
+        scheduler; exactness is asserted by
+        tests/test_dp_learner.py::test_dp_lr_schedule_tracks_sequential."""
         from jax.sharding import NamedSharding, PartitionSpec
 
         c = self.cfg

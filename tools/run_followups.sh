@@ -33,11 +33,20 @@ CKPT=$(pick "$OUT/pipeline_logs/joint_dagger.log" 2>/dev/null)
 if [ -n "$CKPT" ] && [ -f "$CKPT" ]; then
   run parity_closed_loop python tools/torch_parity_closed_loop.py \
     --ckpt "$CKPT" --frames 120
+  # HIL with the REAL trained model + renderer-backed event sensor
+  # (VERDICT r2 #5); json lands in the durable repo artifacts dir
+  run hil_real python tools/hil_real_model.py --ckpt "$CKPT" \
+    --out-json /root/repo/artifacts/hil_real.json
 else
   echo "=== no trained checkpoint found; skipping parity_closed_loop"
 fi
 
 run bench python bench.py
+
+# chunk-DP training quality vs sequential on real pipeline data
+# (VERDICT r2 #6; CPU-only, virtual 8-device mesh)
+run dp_quality python tools/dp_quality.py \
+  --out-json /root/repo/artifacts/dp_quality.json
 
 run pytest python -m pytest tests/ -x -q
 
