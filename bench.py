@@ -107,6 +107,44 @@ def main():
     dt = time.perf_counter() - t0
 
     windows_per_sec = N_WINDOWS * n_iters / dt
+
+    if os.environ.get("BENCH_BREAKDOWN", "0") != "0":
+        # stage split (stderr only; stdout stays the one graded JSON line)
+        @jax.jit
+        def vox_only(ex, ey, ep):
+            if fused:
+                return jax.vmap(
+                    lambda x, y, p: event_histogram_scaled(x, y, p, H, W, chunk=640)
+                )(ex, ey, ep)
+            f = jax.vmap(lambda x, y, p: event_histogram(x, y, p, H, W, chunk=640))(
+                ex, ey, ep
+            )
+            q = approx_abs_quantile(f, 0.97)
+            return jnp.clip(f / jnp.where(q > 0, q, 1.0)[:, None, None], -1.0, 1.0)
+
+        @jax.jit
+        def model_only(params, small, desvel):
+            vel, _h, _u = model.apply(params, [small, desvel, None, None])
+            return vel
+
+        frames = jax.device_get(vox_only(ex, ey, ep))  # warm
+        small = interpolate_bilinear(jnp.asarray(frames)[:, None], (60, 90))
+        _ = jax.device_get(model_only(params, small, desvel))  # warm
+        for name, fn, args in (
+            ("voxelize+scale", vox_only, (ex, ey, ep)),
+            ("model_forward", model_only, (params, small, desvel)),
+        ):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(n_iters):
+                o = fn(*args)
+            _ = jax.device_get(o)
+            d = time.perf_counter() - t0
+            print(
+                f"breakdown {name}: {N_WINDOWS * n_iters / d:.0f} windows/s "
+                f"({d / n_iters * 1e3:.2f} ms/step of {N_WINDOWS})",
+                file=sys.stderr,
+            )
     print(
         json.dumps(
             {
