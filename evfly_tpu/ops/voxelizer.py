@@ -77,22 +77,23 @@ def _bin_events(
 _SUBCHUNKS = 8  # sublane tiling: each grid step consumes 8 rows of E events
 
 
-def _hist_kernel(yi_ref, xi_ref, sign_ref, out_ref):
-    """One grid step: accumulate 8 sub-chunks of events into the (H, W) frame.
+def _accumulate_subchunks(yi_ref, xi_ref, sign_ref, acc, H, W):
+    """Accumulate this grid step's event rows into acc via one-hot matmuls.
 
-    The output block has a constant index_map, so it stays resident in VMEM
-    across grid steps and serves as the accumulator.
+    With S sub-chunk rows of E events each, the contraction axis of the
+    histogram matmul IS the event index, so all S rows could be a single
+    (H, S·E)x(S·E, W) product — but that needs an in-kernel (S, E)→(S·E,)
+    relayout.  Instead callers choose the layout host-side:
+      * subchunks=8, chunk=E   — 8 small matmuls (round-1 shape), full
+        (8,128) input tiles;
+      * subchunks=1, chunk=8E  — ONE deep matmul per grid step (K=8E on the
+        MXU's contraction axis) and 2 big one-hot builds instead of 16 small
+        ones; the (1, 8E) input blocks are sub-tile on sublanes (padded 8x)
+        but the inputs are tiny next to the one-hots.  Measured faster — see
+        bench.py BENCH_SUBCHUNKS.
     """
-    k = pl.program_id(0)
-
-    @pl.when(k == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    E = yi_ref.shape[1]
-    H, W = out_ref.shape
-    acc = out_ref[:]
-    for r in range(_SUBCHUNKS):
+    S, E = yi_ref.shape
+    for r in range(S):
         yi = yi_ref[r, :]  # (E,)
         xi = xi_ref[r, :]
         sign = sign_ref[r, :]
@@ -102,28 +103,48 @@ def _hist_kernel(yi_ref, xi_ref, sign_ref, out_ref):
         yoh = jnp.where(row_ids == yi[None, :], sign[None, :], 0.0).astype(jnp.bfloat16)
         xoh = (col_ids == xi[:, None]).astype(jnp.bfloat16)
         acc = acc + jnp.dot(yoh, xoh, preferred_element_type=jnp.float32)
-    out_ref[:] = acc
+    return acc
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "chunk", "interpret"))
-def _hist_pallas(yi, xi, sign, *, H: int, W: int, chunk: int, interpret: bool):
+def _make_hist_kernel(subchunks: int):
+    def kernel(yi_ref, xi_ref, sign_ref, out_ref):
+        k = pl.program_id(0)
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        H, W = out_ref.shape
+        # constant-index output block stays VMEM-resident across grid steps
+        out_ref[:] = _accumulate_subchunks(yi_ref, xi_ref, sign_ref, out_ref[:], H, W)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("H", "W", "chunk", "interpret", "subchunks")
+)
+def _hist_pallas(
+    yi, xi, sign, *, H: int, W: int, chunk: int, interpret: bool,
+    subchunks: int = _SUBCHUNKS,
+):
     n = yi.shape[0]
-    step = chunk * _SUBCHUNKS
+    step = chunk * subchunks
     n_pad = max(((n + step - 1) // step) * step, step)
     pad = n_pad - n
     yi = jnp.pad(yi, (0, pad))
     xi = jnp.pad(xi, (0, pad))
     sign = jnp.pad(sign, (0, pad))  # padded events have sign 0 -> no-op
     num_steps = n_pad // step
-    yi = yi.reshape(num_steps * _SUBCHUNKS, chunk)
-    xi = xi.reshape(num_steps * _SUBCHUNKS, chunk)
-    sign = sign.reshape(num_steps * _SUBCHUNKS, chunk)
+    yi = yi.reshape(num_steps * subchunks, chunk)
+    xi = xi.reshape(num_steps * subchunks, chunk)
+    sign = sign.reshape(num_steps * subchunks, chunk)
 
     grid = (num_steps,)
-    ev_spec = pl.BlockSpec((_SUBCHUNKS, chunk), lambda i: (i, 0))
+    ev_spec = pl.BlockSpec((subchunks, chunk), lambda i: (i, 0))
     out_spec = pl.BlockSpec((H, W), lambda i: (0, 0))
     return pl.pallas_call(
-        _hist_kernel,
+        _make_hist_kernel(subchunks),
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
         grid=grid,
         in_specs=[ev_spec, ev_spec, ev_spec],
@@ -137,7 +158,7 @@ def _hist_pallas(yi, xi, sign, *, H: int, W: int, chunk: int, interpret: bool):
     )(yi, xi, sign)
 
 
-def _make_hist_kernel_fused_quantile(q: float, iters: int):
+def _make_hist_kernel_fused_quantile(q: float, iters: int, subchunks: int):
     """Histogram kernel + epilogue: the q-quantile of |counts| computed on
     the VMEM-resident accumulator in the LAST grid step (round-2 perf item:
     the separate percentile pass re-read every frame from HBM; here the
@@ -157,18 +178,8 @@ def _make_hist_kernel_fused_quantile(q: float, iters: int):
             # lives at [0, 0]; the rest of the tile is zero.
             q_ref[:] = jnp.zeros_like(q_ref)
 
-        E = yi_ref.shape[1]
         H, W = out_ref.shape
-        acc = out_ref[:]
-        for r in range(_SUBCHUNKS):
-            yi = yi_ref[r, :]
-            xi = xi_ref[r, :]
-            sign = sign_ref[r, :]
-            row_ids = lax.broadcasted_iota(jnp.int32, (H, E), 0)
-            col_ids = lax.broadcasted_iota(jnp.int32, (E, W), 1)
-            yoh = jnp.where(row_ids == yi[None, :], sign[None, :], 0.0).astype(jnp.bfloat16)
-            xoh = (col_ids == xi[:, None]).astype(jnp.bfloat16)
-            acc = acc + jnp.dot(yoh, xoh, preferred_element_type=jnp.float32)
+        acc = _accumulate_subchunks(yi_ref, xi_ref, sign_ref, out_ref[:], H, W)
         out_ref[:] = acc
 
         @pl.when(k == pl.num_programs(0) - 1)
@@ -202,27 +213,28 @@ def _make_hist_kernel_fused_quantile(q: float, iters: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("H", "W", "chunk", "interpret", "q", "iters")
+    jax.jit,
+    static_argnames=("H", "W", "chunk", "interpret", "q", "iters", "subchunks"),
 )
 def _hist_pallas_fused_quantile(
     yi, xi, sign, *, H: int, W: int, chunk: int, interpret: bool,
-    q: float, iters: int,
+    q: float, iters: int, subchunks: int = _SUBCHUNKS,
 ):
     n = yi.shape[0]
-    step = chunk * _SUBCHUNKS
+    step = chunk * subchunks
     n_pad = max(((n + step - 1) // step) * step, step)
     pad = n_pad - n
     yi = jnp.pad(yi, (0, pad))
     xi = jnp.pad(xi, (0, pad))
     sign = jnp.pad(sign, (0, pad))
     num_steps = n_pad // step
-    yi = yi.reshape(num_steps * _SUBCHUNKS, chunk)
-    xi = xi.reshape(num_steps * _SUBCHUNKS, chunk)
-    sign = sign.reshape(num_steps * _SUBCHUNKS, chunk)
+    yi = yi.reshape(num_steps * subchunks, chunk)
+    xi = xi.reshape(num_steps * subchunks, chunk)
+    sign = sign.reshape(num_steps * subchunks, chunk)
 
-    ev_spec = pl.BlockSpec((_SUBCHUNKS, chunk), lambda i: (i, 0))
+    ev_spec = pl.BlockSpec((subchunks, chunk), lambda i: (i, 0))
     counts, qval = pl.pallas_call(
-        _make_hist_kernel_fused_quantile(q, iters),
+        _make_hist_kernel_fused_quantile(q, iters, subchunks),
         out_shape=(
             jax.ShapeDtypeStruct((H, W), jnp.float32),
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
@@ -254,6 +266,7 @@ def event_histogram_scaled(
     iters: int = 18,
     chunk: int = 512,
     interpret: Optional[bool] = None,
+    subchunks: int = _SUBCHUNKS,
 ) -> jnp.ndarray:
     """Voxelize + 97th-percentile normalize in ONE fused Pallas kernel.
 
@@ -267,7 +280,8 @@ def event_histogram_scaled(
         interpret = _default_interpret()
     xi, yi, sign = _bin_events(x, y, pol, H, W)
     counts, qcnt = _hist_pallas_fused_quantile(
-        yi, xi, sign, H=H, W=W, chunk=chunk, interpret=interpret, q=q, iters=iters
+        yi, xi, sign, H=H, W=W, chunk=chunk, interpret=interpret, q=q,
+        iters=iters, subchunks=subchunks,
     )
     # zero-quantile fallback divides the VALUE frame by 1.0 (run.py:252
     # semantics): values = thresh × counts there, 1/qcnt on counts otherwise
@@ -289,6 +303,7 @@ def event_histogram(
     neg_thresh: float = 0.2,
     chunk: int = 512,
     interpret: Optional[bool] = None,
+    subchunks: int = _SUBCHUNKS,
 ) -> jnp.ndarray:
     """Voxelize one window of events into an (H, W) float32 event frame.
 
@@ -303,13 +318,18 @@ def event_histogram(
         interpret = _default_interpret()
     xi, yi, sign = _bin_events(x, y, pol, H, W)
     if pos_thresh == neg_thresh:
-        counts = _hist_pallas(yi, xi, sign, H=H, W=W, chunk=chunk, interpret=interpret)
+        counts = _hist_pallas(
+            yi, xi, sign, H=H, W=W, chunk=chunk, interpret=interpret,
+            subchunks=subchunks,
+        )
         return pos_thresh * counts
     pos_counts = _hist_pallas(
-        yi, xi, jnp.maximum(sign, 0.0), H=H, W=W, chunk=chunk, interpret=interpret
+        yi, xi, jnp.maximum(sign, 0.0), H=H, W=W, chunk=chunk,
+        interpret=interpret, subchunks=subchunks,
     )
     neg_counts = _hist_pallas(
-        yi, xi, jnp.maximum(-sign, 0.0), H=H, W=W, chunk=chunk, interpret=interpret
+        yi, xi, jnp.maximum(-sign, 0.0), H=H, W=W, chunk=chunk,
+        interpret=interpret, subchunks=subchunks,
     )
     return pos_thresh * pos_counts - neg_thresh * neg_counts
 

@@ -40,3 +40,25 @@ def test_fused_zero_quantile_fallback():
     fused = np.asarray(event_histogram_scaled(x, y, p, H, W))
     assert fused[5, 3] == pytest.approx(min(3 * 0.2, 1.0))
     assert np.count_nonzero(fused) == 1
+
+
+@pytest.mark.parametrize("n_events", [0, 37, 5000])
+def test_wide_layout_matches_default(n_events):
+    """subchunks=1 with an 8x-wide chunk (ONE deep matmul per grid step —
+    the serving-optimized layout, see _accumulate_subchunks) must produce
+    the identical frame and quantile as the default 8-subchunk layout."""
+    rng = np.random.default_rng(100 + n_events)
+    H, W = 64, 86
+    x = jnp.asarray(rng.uniform(0, W, n_events), jnp.float32)
+    y = jnp.asarray(rng.uniform(0, H, n_events), jnp.float32)
+    p = jnp.asarray(rng.choice([-1, 1], n_events), jnp.int32)
+
+    base = np.asarray(event_histogram(x, y, p, H, W, chunk=512))
+    wide = np.asarray(event_histogram(x, y, p, H, W, chunk=4096, subchunks=1))
+    np.testing.assert_allclose(wide, base, atol=1e-6)
+
+    base_s = np.asarray(event_histogram_scaled(x, y, p, H, W, chunk=512))
+    wide_s = np.asarray(
+        event_histogram_scaled(x, y, p, H, W, chunk=4096, subchunks=1)
+    )
+    np.testing.assert_allclose(wide_s, base_s, atol=2e-5)
