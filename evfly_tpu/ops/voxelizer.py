@@ -97,12 +97,19 @@ def _accumulate_subchunks(yi_ref, xi_ref, sign_ref, acc, H, W):
         yi = yi_ref[r, :]  # (E,)
         xi = xi_ref[r, :]
         sign = sign_ref[r, :]
-        # Y one-hot (H, E) carrying the signed value; X one-hot (E, W).
+        # Y one-hot (H, E) carrying the signed value; X one-hot built
+        # TRANSPOSED as (W, E) so xi stays a lane vector (xi[:, None] would
+        # force a lane->sublane relayout); the matmul contracts both over
+        # the shared event axis E — rhs-transposed contraction is native on
+        # the MXU.
         row_ids = lax.broadcasted_iota(jnp.int32, (H, E), 0)
-        col_ids = lax.broadcasted_iota(jnp.int32, (E, W), 1)
+        w_ids = lax.broadcasted_iota(jnp.int32, (W, E), 0)
         yoh = jnp.where(row_ids == yi[None, :], sign[None, :], 0.0).astype(jnp.bfloat16)
-        xoh = (col_ids == xi[:, None]).astype(jnp.bfloat16)
-        acc = acc + jnp.dot(yoh, xoh, preferred_element_type=jnp.float32)
+        xoh_t = (w_ids == xi[None, :]).astype(jnp.bfloat16)
+        acc = acc + lax.dot_general(
+            yoh, xoh_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     return acc
 
 
