@@ -37,10 +37,13 @@ def main():
     # round-2: percentile fused into the Pallas epilogue (BENCH_FUSED=0 to
     # compare against the separate-percentile path)
     fused = os.environ.get("BENCH_FUSED", "1") != "0"
-    # round-3: one deep matmul per grid step (subchunks=1, K=8*chunk on the
-    # MXU contraction axis) instead of 8 small one-hot matmuls.
-    # BENCH_WIDE=0 restores the round-1 8-subchunk layout.
-    wide = os.environ.get("BENCH_WIDE", "1") != "0"
+    # round-3: optional wide layout — one deep matmul per grid step
+    # (subchunks=1, K=8*chunk on the MXU contraction axis) instead of 8
+    # small one-hot matmuls.  Measured on-chip 2026-08-17: fused+narrow
+    # 38.4k > unfused+narrow 37.8k > fused+wide 37.5k windows/s (all within
+    # ~2% — the tunnel's run-to-run variance band), so narrow stays the
+    # default; BENCH_WIDE=1 selects the wide layout.
+    wide = os.environ.get("BENCH_WIDE", "0") != "0"
     CHUNK = 5120 if wide else 640
     SUBCH = 1 if wide else 8
 
@@ -154,11 +157,16 @@ def main():
             vel, _h, _u = model.apply(params, [small, desvel, None, None])
             return vel
 
+        # reduce vox output to a scalar for timing: returning the full
+        # (256,260,346) frames would make the final device_get dominate
+        # (~92 MB over the ~14 MB/s tunnel)
+        vox_sum = jax.jit(lambda ex, ey, ep: vox_only(ex, ey, ep).sum())
         frames = jax.device_get(vox_only(ex, ey, ep))  # warm
         small = interpolate_bilinear(jnp.asarray(frames)[:, None], (60, 90))
         _ = jax.device_get(model_only(params, small, desvel))  # warm
+        _ = jax.device_get(vox_sum(ex, ey, ep))  # warm
         for name, fn, args in (
-            ("voxelize+scale", vox_only, (ex, ey, ep)),
+            ("voxelize+scale", vox_sum, (ex, ey, ep)),
             ("model_forward", model_only, (params, small, desvel)),
         ):
             t0 = time.perf_counter()

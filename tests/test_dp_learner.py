@@ -74,7 +74,9 @@ def test_dp_lr_schedule_tracks_sequential(tmp_path, rng):
     so each epoch advances the schedule index by EXACTLY num_training_steps
     — warmup and decay land at the same epoch fractions as the sequential
     per-trajectory path."""
-    data_path = _toy_dataset(tmp_path, rng, n_traj=3, T=12, H=60, W=90)
+    # 6 toy trajs at val_split 0.5 -> 3 TRAIN trajectories
+    # (num_training_steps counts train trajs)
+    data_path = _toy_dataset(tmp_path, rng, n_traj=6, T=12, H=60, W=90)
     cfg = _base_config(
         tmp_path, data_path, ws_suffix="_lrdp", dp_devices=8,
         dp_chunks_per_device=1, N_eps=2, data_augmentation=0.0, seed=5,
@@ -82,7 +84,7 @@ def test_dp_lr_schedule_tracks_sequential(tmp_path, rng):
     )
     learner = Learner(cfg)
     S = learner.num_training_steps
-    assert S == 3  # 3 toy trajectories
+    assert S == 3
 
     calls = []
     orig = learner.lr_scheduler
