@@ -216,6 +216,60 @@ def interpolate_bilinear(
     return xf.astype(orig_dtype)
 
 
+@functools.lru_cache(maxsize=64)
+def resize_matrix(n_in: int, n_out: int, align_corners: bool = False, n_out_pad: int = 0):
+    """Dense (n_out_pad or n_out, n_in) f32 matrix R with R @ v == the 1-D
+    bilinear resample of v — identical source-coordinate/edge semantics to
+    ``_interp_axis_weights`` (torch align_corners=False clamps negative
+    source coords to 0).  Each row has <= 2 nonzeros; rows past n_out are
+    zero padding (for TPU tile-aligned kernels).  numpy, trace-time constant.
+    """
+    import numpy as _np
+
+    i = _np.arange(n_out, dtype=_np.float64)
+    if align_corners:
+        src = _np.zeros_like(i) if n_out == 1 else i * (n_in - 1) / (n_out - 1)
+    else:
+        src = _np.maximum((i + 0.5) * (n_in / n_out) - 0.5, 0.0)
+    i0 = _np.minimum(_np.floor(src).astype(_np.int64), n_in - 1)
+    i1 = _np.minimum(i0 + 1, n_in - 1)
+    w1 = (src - i0).astype(_np.float64)
+    rows = max(n_out_pad, n_out)
+    R = _np.zeros((rows, n_in), _np.float32)
+    _np.add.at(R, (_np.arange(n_out), i0), (1.0 - w1).astype(_np.float32))
+    _np.add.at(R, (_np.arange(n_out), i1), w1.astype(_np.float32))
+    return R
+
+
+def interpolate_bilinear_mm(
+    x: jnp.ndarray, size: Tuple[int, int], align_corners: bool = False
+) -> jnp.ndarray:
+    """``interpolate_bilinear`` as two MXU matmuls: out = R_h @ x @ R_w^T.
+
+    The gather formulation above is exact but lowers to per-axis gathers
+    that XLA:TPU executes poorly; a bilinear resample is a (<= 2 nonzeros
+    per row) linear map, so a dense matmul is far cheaper on the MXU for
+    serving-sized images.  Matmuls run at HIGHEST precision (f32 exact for
+    these magnitudes) regardless of the global PRECISION so results match
+    the gather path to f32 rounding.  x: (..., H, W).
+    """
+    h_out, w_out = int(size[0]), int(size[1])
+    h_in, w_in = x.shape[-2], x.shape[-1]
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    if h_in != h_out:
+        rh = jnp.asarray(resize_matrix(h_in, h_out, align_corners))
+        xf = jnp.einsum(
+            "oh,...hw->...ow", rh, xf, precision=jax.lax.Precision.HIGHEST
+        )
+    if w_in != w_out:
+        rw = jnp.asarray(resize_matrix(w_in, w_out, align_corners))
+        xf = jnp.einsum(
+            "...hw,ow->...ho", xf, rw, precision=jax.lax.Precision.HIGHEST
+        )
+    return xf.astype(orig_dtype)
+
+
 def pixel_shuffle(x: jnp.ndarray, upscale_factor: int) -> jnp.ndarray:
     """torch.nn.PixelShuffle: (N, C*r^2, H, W) -> (N, C, H*r, W*r)."""
     n, c_r2, h, w = x.shape

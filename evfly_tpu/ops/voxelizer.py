@@ -296,6 +296,175 @@ def event_histogram_scaled(
     return jnp.clip(counts * scale, -1.0, 1.0)
 
 
+def _make_hist_kernel_fused_quantile_resize(
+    q: float, iters: int, thresh: float
+):
+    """Histogram + quantile-normalize + bilinear-downsample, all in VMEM.
+
+    The full-resolution accumulator lives in VMEM *scratch* — it is never
+    written to HBM at all.  The last grid step computes the q-quantile of
+    |counts| (same bisection as ``_make_hist_kernel_fused_quantile``),
+    normalizes+clips, and collapses the frame to the model's input size with
+    two small MXU matmuls against trace-time-constant resize operators
+    (imageops.resize_matrix — <=2 nonzeros/row bilinear maps, padded to TPU
+    tile multiples so the output block is tile-aligned).  Per 256-window
+    serving step this removes ~92 MB of HBM writes + ~92 MB of re-reads and
+    the separate gather-based resize dispatch entirely.
+    """
+
+    def kernel(yi_ref, xi_ref, sign_ref, rh_ref, rwt_ref, small_ref, q_ref, acc_ref):
+        k = pl.program_id(0)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            small_ref[:] = jnp.zeros_like(small_ref)
+            q_ref[:] = jnp.zeros_like(q_ref)
+
+        H, W = acc_ref.shape
+        acc = _accumulate_subchunks(yi_ref, xi_ref, sign_ref, acc_ref[:], H, W)
+        acc_ref[:] = acc
+
+        @pl.when(k == pl.num_programs(0) - 1)
+        def _():
+            a = jnp.abs(acc)
+            n = H * W
+            kth = int(q * (n - 1)) + 1  # floor(q·(n-1)) + 1, static
+            lo0 = jnp.zeros((), jnp.float32)
+            hi0 = jnp.max(a)
+
+            def body(_, carry):
+                lo, hi = carry
+                mid = 0.5 * (lo + hi)
+                cnt = jnp.sum((a <= mid).astype(jnp.int32))
+                go_right = cnt < kth
+                return (
+                    jnp.where(go_right, mid, lo),
+                    jnp.where(go_right, hi, mid),
+                )
+
+            _, hi = lax.fori_loop(0, iters, body, (lo0, hi0))
+            n_zero = jnp.sum((a <= 0.0).astype(jnp.int32))
+            qv = jnp.where(n_zero >= kth, 0.0, hi)
+            # zero-quantile fallback: divide the VALUE frame (thresh*counts)
+            # by 1.0 — run.py:252 semantics (same as event_histogram_scaled)
+            scale = jnp.where(qv > 0, 1.0 / jnp.maximum(qv, 1e-30), thresh)
+            scaled = jnp.clip(acc * scale, -1.0, 1.0)
+            tmp = lax.dot_general(
+                rh_ref[:], scaled, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (HP, W)
+            small_ref[:] = lax.dot_general(
+                tmp, rwt_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (HP, WP)
+            q_ref[:] = jnp.full(q_ref.shape, qv, jnp.float32)
+
+    return kernel
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "H", "W", "h_out", "w_out", "chunk", "interpret", "q", "iters",
+        "subchunks", "thresh", "align_corners",
+    ),
+)
+def _hist_pallas_fused_quantile_resize(
+    yi, xi, sign, *, H: int, W: int, h_out: int, w_out: int, chunk: int,
+    interpret: bool, q: float, iters: int, thresh: float,
+    subchunks: int = _SUBCHUNKS, align_corners: bool = False,
+):
+    from evfly_tpu.ops.imageops import resize_matrix
+
+    n = yi.shape[0]
+    step = chunk * subchunks
+    n_pad = max(((n + step - 1) // step) * step, step)
+    pad = n_pad - n
+    yi = jnp.pad(yi, (0, pad))
+    xi = jnp.pad(xi, (0, pad))
+    sign = jnp.pad(sign, (0, pad))
+    num_steps = n_pad // step
+    yi = yi.reshape(num_steps * subchunks, chunk)
+    xi = xi.reshape(num_steps * subchunks, chunk)
+    sign = sign.reshape(num_steps * subchunks, chunk)
+
+    # tile-aligned output: (8, 128) is the minimum f32 VMEM tile (the
+    # round-2 lesson); zero rows/cols of the resize operators pad for free
+    HP = _round_up(h_out, 8)
+    WP = _round_up(w_out, 128)
+    rh = jnp.asarray(resize_matrix(H, h_out, align_corners, n_out_pad=HP))
+    rwt = jnp.asarray(resize_matrix(W, w_out, align_corners, n_out_pad=WP)).T
+
+    ev_spec = pl.BlockSpec((subchunks, chunk), lambda i: (i, 0))
+    small, qtile = pl.pallas_call(
+        _make_hist_kernel_fused_quantile_resize(q, iters, thresh),
+        out_shape=(
+            jax.ShapeDtypeStruct((HP, WP), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        ),
+        grid=(num_steps,),
+        in_specs=[
+            ev_spec,
+            ev_spec,
+            ev_spec,
+            pl.BlockSpec((HP, H), lambda i: (0, 0)),
+            pl.BlockSpec((W, WP), lambda i: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((HP, WP), lambda i: (0, 0)),
+            pl.BlockSpec((8, 128), lambda i: (0, 0)),
+        ),
+        scratch_shapes=[pltpu.VMEM((H, W), jnp.float32)] if _HAS_PLTPU else [],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * H * W * n_pad + iters * H * W + 2 * HP * W * (H + WP),
+            bytes_accessed=3 * n_pad * 4 + HP * WP * 4,
+            transcendentals=0,
+        ),
+    )(yi, xi, sign, rh, rwt)
+    return small, qtile[0, 0]
+
+
+def event_histogram_scaled_resized(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    pol: jnp.ndarray,
+    H: int,
+    W: int,
+    h_out: int,
+    w_out: int,
+    thresh: float = 0.2,
+    q: float = 0.97,
+    iters: int = 18,
+    chunk: int = 512,
+    interpret: Optional[bool] = None,
+    subchunks: int = _SUBCHUNKS,
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """Events -> normalized (h_out, w_out) model input in ONE Pallas kernel.
+
+    Equals ``interpolate_bilinear(event_histogram_scaled(...), (h_out,
+    w_out))`` (the deployment transform run.py:250-253 + the 60x90 model
+    resize, vitfly_models.py:18-31) to f32 rounding, but the (H, W) frame
+    exists only in VMEM scratch — no HBM round-trip of the full-resolution
+    frame and no separate resize dispatch.
+    """
+    if interpret is None:
+        interpret = _default_interpret()
+    xi, yi, sign = _bin_events(x, y, pol, H, W)
+    small, _qcnt = _hist_pallas_fused_quantile_resize(
+        yi, xi, sign, H=H, W=W, h_out=h_out, w_out=w_out, chunk=chunk,
+        interpret=interpret, q=q, iters=iters, thresh=thresh,
+        subchunks=subchunks, align_corners=align_corners,
+    )
+    return small[:h_out, :w_out]
+
+
 def _default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 

@@ -4,10 +4,16 @@ composition (event_histogram -> approx_abs_quantile -> clip)."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
+from evfly_tpu.ops.imageops import interpolate_bilinear, interpolate_bilinear_mm
 from evfly_tpu.ops.percentile import approx_abs_quantile
-from evfly_tpu.ops.voxelizer import event_histogram, event_histogram_scaled
+from evfly_tpu.ops.voxelizer import (
+    event_histogram,
+    event_histogram_scaled,
+    event_histogram_scaled_resized,
+)
 
 
 @pytest.mark.parametrize("n_events", [0, 37, 5000])
@@ -40,6 +46,66 @@ def test_fused_zero_quantile_fallback():
     fused = np.asarray(event_histogram_scaled(x, y, p, H, W))
     assert fused[5, 3] == pytest.approx(min(3 * 0.2, 1.0))
     assert np.count_nonzero(fused) == 1
+
+
+@pytest.mark.parametrize("n_events", [0, 37, 5000])
+def test_resize_fused_matches_composition(n_events):
+    """event_histogram_scaled_resized == interpolate_bilinear(
+    event_histogram_scaled(...)) — the full serving input transform in one
+    kernel (scratch accumulator + in-kernel quantile + matmul resize)."""
+    rng = np.random.default_rng(7 + n_events)
+    H, W = 64, 86
+    ho, wo = 24, 30
+    x = jnp.asarray(rng.uniform(0, W, n_events), jnp.float32)
+    y = jnp.asarray(rng.uniform(0, H, n_events), jnp.float32)
+    p = jnp.asarray(rng.choice([-1, 1], n_events), jnp.int32)
+
+    small = np.asarray(event_histogram_scaled_resized(x, y, p, H, W, ho, wo))
+    assert small.shape == (ho, wo)
+
+    full = event_histogram_scaled(x, y, p, H, W)
+    ref = np.asarray(interpolate_bilinear(full[None, None], (ho, wo))[0, 0])
+    np.testing.assert_allclose(small, ref, atol=3e-5)
+
+
+def test_resize_fused_vmap_batch():
+    """vmap over windows (the bench layout): each window's scratch
+    accumulator re-zeroes at grid step 0, so batched results equal the
+    per-window loop."""
+    rng = np.random.default_rng(42)
+    H, W = 48, 70
+    B, E = 3, 900
+    x = jnp.asarray(rng.uniform(0, W, (B, E)), jnp.float32)
+    y = jnp.asarray(rng.uniform(0, H, (B, E)), jnp.float32)
+    p = jnp.asarray(rng.choice([-1, 1], (B, E)), jnp.int32)
+
+    batched = np.asarray(
+        jax.vmap(
+            lambda a, b, c: event_histogram_scaled_resized(a, b, c, H, W, 20, 26)
+        )(x, y, p)
+    )
+    for i in range(B):
+        single = np.asarray(
+            event_histogram_scaled_resized(x[i], y[i], p[i], H, W, 20, 26)
+        )
+        np.testing.assert_allclose(batched[i], single, atol=1e-6)
+
+
+def test_interpolate_bilinear_mm_matches_gather():
+    """The separable-matmul resize equals the gather implementation (torch
+    align_corners=False semantics) to f32 rounding, both down and up."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 3, 260, 346)), jnp.float32)
+    # atol 2e-4: the matmul accumulates n_in f32 terms (mostly zeros) where
+    # the gather sums exactly 2 — rounding differs at ~1e-4 on O(1) values
+    for size in [(60, 90), (260, 346), (300, 400), (1, 1)]:
+        a = np.asarray(interpolate_bilinear(x, size))
+        b = np.asarray(interpolate_bilinear_mm(x, size))
+        np.testing.assert_allclose(a, b, atol=2e-4, err_msg=str(size))
+    for size in [(60, 90), (130, 173)]:
+        a = np.asarray(interpolate_bilinear(x, size, align_corners=True))
+        b = np.asarray(interpolate_bilinear_mm(x, size, align_corners=True))
+        np.testing.assert_allclose(a, b, atol=2e-4, err_msg=str(size))
 
 
 @pytest.mark.parametrize("n_events", [0, 37, 5000])
