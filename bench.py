@@ -29,6 +29,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from evfly_tpu.models.recurrent import set_fused_lstm
     from evfly_tpu.models.vitfly import LSTMNetVIT
     from evfly_tpu.ops.imageops import interpolate_bilinear, set_precision
     from evfly_tpu.ops.percentile import approx_abs_quantile
@@ -68,9 +69,15 @@ def main():
     ep = jnp.asarray(rng.choice([-1, 1], (N_WINDOWS, N_EVENTS)), jnp.int32)
     desvel = jnp.full((N_WINDOWS, 1), 4.0, jnp.float32)
 
-    def make_step(use_fused, use_wide=None, use_resize=False):
+    def make_step(
+        use_fused, use_wide=None, use_resize=False, use_flstm=False,
+        use_int8=False,
+    ):
         CHUNK = 5120 if (wide if use_wide is None else use_wide) else 640
         SUBCH = 1 if (wide if use_wide is None else use_wide) else 8
+        # trace-time switch: the jitted step below traces on its first call
+        # (inside the ladder's try), before any other rung flips the flag
+        set_fused_lstm(use_flstm)
 
         @jax.jit
         def step(params, ex, ey, ep, desvel):
@@ -83,7 +90,8 @@ def main():
                 # no separate gather-resize dispatch)
                 small = jax.vmap(
                     lambda x, y, p: event_histogram_scaled_resized(
-                        x, y, p, H, W, 60, 90, chunk=CHUNK, subchunks=SUBCH
+                        x, y, p, H, W, 60, 90, chunk=CHUNK, subchunks=SUBCH,
+                        int8_mm=use_int8,
                     )
                 )(ex, ey, ep)[:, None]
                 vel, _h, _u = model.apply(params, [small, desvel, None, None])
@@ -121,7 +129,27 @@ def main():
     # that compiles+runs is measured.  Failures are recorded with repr(e)
     # in the artifact tail (VERDICT r2 weak #1).
     resize_fused = os.environ.get("BENCH_RESIZE_FUSED", "1") != "0"
+    # round-3: whole 3-layer LSTM recurrence as ONE Pallas kernel (768
+    # sequential matvec iterations -> one in-kernel fori_loop over time)
+    flstm = os.environ.get("BENCH_FUSED_LSTM", "1") != "0"
+    # int8 one-hot matmuls (2x MXU rate): default-on since the on-chip A/B
+    # measured 92.9k vs 84.5k windows/s on the voxelize+scale+resize stage
+    # (48.8k vs 46.6k end-to-end, 2026-08-18)
+    int8 = os.environ.get("BENCH_INT8", "1") != "0"
     ladder = [
+        (
+            "fused+resize+flstm+int8",
+            fused and resize_fused and flstm and int8,
+            dict(
+                use_fused=True, use_wide=wide, use_resize=True,
+                use_flstm=True, use_int8=True,
+            ),
+        ),
+        (
+            "fused+resize+flstm",
+            fused and resize_fused and flstm,
+            dict(use_fused=True, use_wide=wide, use_resize=True, use_flstm=True),
+        ),
         (
             "fused+resize",
             fused and resize_fused,
@@ -164,7 +192,8 @@ def main():
         def vox_resize_only(ex, ey, ep):
             return jax.vmap(
                 lambda x, y, p: event_histogram_scaled_resized(
-                    x, y, p, H, W, 60, 90, chunk=CHUNK, subchunks=SUBCH
+                    x, y, p, H, W, 60, 90, chunk=CHUNK, subchunks=SUBCH,
+                    int8_mm=kw.get("use_int8", False),
                 )
             )(ex, ey, ep)
 
@@ -207,6 +236,39 @@ def main():
             stages.insert(0, ("voxelize+scale+resize (1 kernel)", voxrs_sum, (ex, ey, ep)))
         except Exception as e:  # noqa: BLE001
             print(f"resize-fused breakdown unavailable: {repr(e)[:300]}", file=sys.stderr)
+        if kw.get("use_int8", False):
+            # bf16 twin of the selected int8 path for a same-run A/B
+            voxrs_bf16_sum = jax.jit(
+                lambda ex, ey, ep: jax.vmap(
+                    lambda x, y, p: event_histogram_scaled_resized(
+                        x, y, p, H, W, 60, 90, chunk=CHUNK, subchunks=SUBCH
+                    )
+                )(ex, ey, ep).sum()
+            )
+            try:
+                _ = jax.device_get(voxrs_bf16_sum(ex, ey, ep))  # warm
+                stages.insert(
+                    1, ("voxelize+scale+resize (bf16 one-hots)", voxrs_bf16_sum, (ex, ey, ep))
+                )
+            except Exception as e:  # noqa: BLE001
+                print(f"bf16 twin breakdown unavailable: {repr(e)[:300]}", file=sys.stderr)
+        if kw.get("use_flstm", False):
+            # A/B the LSTM implementations: model_only above traced with the
+            # fused kernel (the chosen rung's flag); trace a lax.scan twin
+            set_fused_lstm(False)
+            model_only_scan = jax.jit(
+                lambda params, small, desvel: model.apply(
+                    params, [small, desvel, None, None]
+                )[0]
+            )
+            try:
+                _ = jax.device_get(model_only_scan(params, small, desvel))  # warm
+                stages.append(
+                    ("model_forward (lax.scan LSTM)", model_only_scan, (params, small, desvel))
+                )
+            except Exception as e:  # noqa: BLE001
+                print(f"scan-LSTM breakdown unavailable: {repr(e)[:300]}", file=sys.stderr)
+            set_fused_lstm(True)
         for name, fn, args in stages:
             t0 = time.perf_counter()
             o = None

@@ -30,6 +30,18 @@ from .common import Params
 # ---------------------------------------------------------------------------
 
 
+_USE_FUSED_LSTM = False
+
+
+def set_fused_lstm(enabled: bool) -> None:
+    """Route eligible lstm_apply calls through the single-kernel Pallas scan
+    (ops.lstm_pallas) — inference only, hidden_size % 128 == 0.  Serving /
+    throughput paths opt in (bench.py); training and parity paths keep the
+    lax.scan reference implementation."""
+    global _USE_FUSED_LSTM
+    _USE_FUSED_LSTM = enabled
+
+
 def lstm_apply(
     params: Params,
     x: jnp.ndarray,  # (T, input_size)
@@ -45,6 +57,10 @@ def lstm_apply(
     Matches torch semantics: inter-layer dropout on all but the last layer's
     outputs (training only); gates ordered (i, f, g, o).
     """
+    if _USE_FUSED_LSTM and not train and hidden_size % 128 == 0:
+        from ..ops.lstm_pallas import lstm_apply_fused
+
+        return lstm_apply_fused(params, x, hidden, num_layers, hidden_size)
     T = x.shape[0]
     if hidden is None:
         h0 = jnp.zeros((num_layers, hidden_size), x.dtype)

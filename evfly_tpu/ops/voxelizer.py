@@ -77,7 +77,7 @@ def _bin_events(
 _SUBCHUNKS = 8  # sublane tiling: each grid step consumes 8 rows of E events
 
 
-def _accumulate_subchunks(yi_ref, xi_ref, sign_ref, acc, H, W):
+def _accumulate_subchunks(yi_ref, xi_ref, sign_ref, acc, H, W, int8_mm=False):
     """Accumulate this grid step's event rows into acc via one-hot matmuls.
 
     With S sub-chunk rows of E events each, the contraction axis of the
@@ -91,6 +91,12 @@ def _accumulate_subchunks(yi_ref, xi_ref, sign_ref, acc, H, W):
         ones; the (1, 8E) input blocks are sub-tile on sublanes (padded 8x)
         but the inputs are tiny next to the one-hots.  Measured faster — see
         bench.py BENCH_SUBCHUNKS.
+
+    int8_mm runs the one-hot product as int8×int8→int32 (one-hot entries are
+    ±1/0, exact in any dtype; counts fit int32 trivially) — 2× the MXU rate
+    of the bf16 path on v5p.  The int32 partial is cast to f32 before the
+    accumulate, so every downstream epilogue (quantile, resize) is unchanged
+    and results stay bit-identical (counts ≪ 2^24).
     """
     S, E = yi_ref.shape
     for r in range(S):
@@ -104,6 +110,16 @@ def _accumulate_subchunks(yi_ref, xi_ref, sign_ref, acc, H, W):
         # the MXU.
         row_ids = lax.broadcasted_iota(jnp.int32, (H, E), 0)
         w_ids = lax.broadcasted_iota(jnp.int32, (W, E), 0)
+        if int8_mm:
+            yoh = jnp.where(
+                row_ids == yi[None, :], sign[None, :], 0.0
+            ).astype(jnp.int8)
+            xoh_t = (w_ids == xi[None, :]).astype(jnp.int8)
+            acc = acc + lax.dot_general(
+                yoh, xoh_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            continue
         yoh = jnp.where(row_ids == yi[None, :], sign[None, :], 0.0).astype(jnp.bfloat16)
         xoh_t = (w_ids == xi[None, :]).astype(jnp.bfloat16)
         acc = acc + lax.dot_general(
@@ -113,7 +129,7 @@ def _accumulate_subchunks(yi_ref, xi_ref, sign_ref, acc, H, W):
     return acc
 
 
-def _make_hist_kernel(subchunks: int):
+def _make_hist_kernel(subchunks: int, int8_mm: bool = False):
     def kernel(yi_ref, xi_ref, sign_ref, out_ref):
         k = pl.program_id(0)
 
@@ -123,17 +139,20 @@ def _make_hist_kernel(subchunks: int):
 
         H, W = out_ref.shape
         # constant-index output block stays VMEM-resident across grid steps
-        out_ref[:] = _accumulate_subchunks(yi_ref, xi_ref, sign_ref, out_ref[:], H, W)
+        out_ref[:] = _accumulate_subchunks(
+            yi_ref, xi_ref, sign_ref, out_ref[:], H, W, int8_mm
+        )
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("H", "W", "chunk", "interpret", "subchunks")
+    jax.jit,
+    static_argnames=("H", "W", "chunk", "interpret", "subchunks", "int8_mm"),
 )
 def _hist_pallas(
     yi, xi, sign, *, H: int, W: int, chunk: int, interpret: bool,
-    subchunks: int = _SUBCHUNKS,
+    subchunks: int = _SUBCHUNKS, int8_mm: bool = False,
 ):
     n = yi.shape[0]
     step = chunk * subchunks
@@ -151,7 +170,7 @@ def _hist_pallas(
     ev_spec = pl.BlockSpec((subchunks, chunk), lambda i: (i, 0))
     out_spec = pl.BlockSpec((H, W), lambda i: (0, 0))
     return pl.pallas_call(
-        _make_hist_kernel(subchunks),
+        _make_hist_kernel(subchunks, int8_mm),
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
         grid=grid,
         in_specs=[ev_spec, ev_spec, ev_spec],
@@ -165,7 +184,9 @@ def _hist_pallas(
     )(yi, xi, sign)
 
 
-def _make_hist_kernel_fused_quantile(q: float, iters: int, subchunks: int):
+def _make_hist_kernel_fused_quantile(
+    q: float, iters: int, subchunks: int, int8_mm: bool = False
+):
     """Histogram kernel + epilogue: the q-quantile of |counts| computed on
     the VMEM-resident accumulator in the LAST grid step (round-2 perf item:
     the separate percentile pass re-read every frame from HBM; here the
@@ -186,7 +207,9 @@ def _make_hist_kernel_fused_quantile(q: float, iters: int, subchunks: int):
             q_ref[:] = jnp.zeros_like(q_ref)
 
         H, W = out_ref.shape
-        acc = _accumulate_subchunks(yi_ref, xi_ref, sign_ref, out_ref[:], H, W)
+        acc = _accumulate_subchunks(
+            yi_ref, xi_ref, sign_ref, out_ref[:], H, W, int8_mm
+        )
         out_ref[:] = acc
 
         @pl.when(k == pl.num_programs(0) - 1)
@@ -221,11 +244,13 @@ def _make_hist_kernel_fused_quantile(q: float, iters: int, subchunks: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("H", "W", "chunk", "interpret", "q", "iters", "subchunks"),
+    static_argnames=(
+        "H", "W", "chunk", "interpret", "q", "iters", "subchunks", "int8_mm"
+    ),
 )
 def _hist_pallas_fused_quantile(
     yi, xi, sign, *, H: int, W: int, chunk: int, interpret: bool,
-    q: float, iters: int, subchunks: int = _SUBCHUNKS,
+    q: float, iters: int, subchunks: int = _SUBCHUNKS, int8_mm: bool = False,
 ):
     n = yi.shape[0]
     step = chunk * subchunks
@@ -241,7 +266,7 @@ def _hist_pallas_fused_quantile(
 
     ev_spec = pl.BlockSpec((subchunks, chunk), lambda i: (i, 0))
     counts, qval = pl.pallas_call(
-        _make_hist_kernel_fused_quantile(q, iters, subchunks),
+        _make_hist_kernel_fused_quantile(q, iters, subchunks, int8_mm),
         out_shape=(
             jax.ShapeDtypeStruct((H, W), jnp.float32),
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
@@ -274,6 +299,7 @@ def event_histogram_scaled(
     chunk: int = 512,
     interpret: Optional[bool] = None,
     subchunks: int = _SUBCHUNKS,
+    int8_mm: bool = False,
 ) -> jnp.ndarray:
     """Voxelize + 97th-percentile normalize in ONE fused Pallas kernel.
 
@@ -288,7 +314,7 @@ def event_histogram_scaled(
     xi, yi, sign = _bin_events(x, y, pol, H, W)
     counts, qcnt = _hist_pallas_fused_quantile(
         yi, xi, sign, H=H, W=W, chunk=chunk, interpret=interpret, q=q,
-        iters=iters, subchunks=subchunks,
+        iters=iters, subchunks=subchunks, int8_mm=int8_mm,
     )
     # zero-quantile fallback divides the VALUE frame by 1.0 (run.py:252
     # semantics): values = thresh × counts there, 1/qcnt on counts otherwise
@@ -297,7 +323,7 @@ def event_histogram_scaled(
 
 
 def _make_hist_kernel_fused_quantile_resize(
-    q: float, iters: int, thresh: float
+    q: float, iters: int, thresh: float, int8_mm: bool = False
 ):
     """Histogram + quantile-normalize + bilinear-downsample, all in VMEM.
 
@@ -322,7 +348,9 @@ def _make_hist_kernel_fused_quantile_resize(
             q_ref[:] = jnp.zeros_like(q_ref)
 
         H, W = acc_ref.shape
-        acc = _accumulate_subchunks(yi_ref, xi_ref, sign_ref, acc_ref[:], H, W)
+        acc = _accumulate_subchunks(
+            yi_ref, xi_ref, sign_ref, acc_ref[:], H, W, int8_mm
+        )
         acc_ref[:] = acc
 
         @pl.when(k == pl.num_programs(0) - 1)
@@ -371,13 +399,14 @@ def _round_up(n: int, m: int) -> int:
     jax.jit,
     static_argnames=(
         "H", "W", "h_out", "w_out", "chunk", "interpret", "q", "iters",
-        "subchunks", "thresh", "align_corners",
+        "subchunks", "thresh", "align_corners", "int8_mm",
     ),
 )
 def _hist_pallas_fused_quantile_resize(
     yi, xi, sign, *, H: int, W: int, h_out: int, w_out: int, chunk: int,
     interpret: bool, q: float, iters: int, thresh: float,
     subchunks: int = _SUBCHUNKS, align_corners: bool = False,
+    int8_mm: bool = False,
 ):
     from evfly_tpu.ops.imageops import resize_matrix
 
@@ -402,7 +431,7 @@ def _hist_pallas_fused_quantile_resize(
 
     ev_spec = pl.BlockSpec((subchunks, chunk), lambda i: (i, 0))
     small, qtile = pl.pallas_call(
-        _make_hist_kernel_fused_quantile_resize(q, iters, thresh),
+        _make_hist_kernel_fused_quantile_resize(q, iters, thresh, int8_mm),
         out_shape=(
             jax.ShapeDtypeStruct((HP, WP), jnp.float32),
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
@@ -445,6 +474,7 @@ def event_histogram_scaled_resized(
     interpret: Optional[bool] = None,
     subchunks: int = _SUBCHUNKS,
     align_corners: bool = False,
+    int8_mm: bool = False,
 ) -> jnp.ndarray:
     """Events -> normalized (h_out, w_out) model input in ONE Pallas kernel.
 
@@ -460,7 +490,7 @@ def event_histogram_scaled_resized(
     small, _qcnt = _hist_pallas_fused_quantile_resize(
         yi, xi, sign, H=H, W=W, h_out=h_out, w_out=w_out, chunk=chunk,
         interpret=interpret, q=q, iters=iters, thresh=thresh,
-        subchunks=subchunks, align_corners=align_corners,
+        subchunks=subchunks, align_corners=align_corners, int8_mm=int8_mm,
     )
     return small[:h_out, :w_out]
 
@@ -480,6 +510,7 @@ def event_histogram(
     chunk: int = 512,
     interpret: Optional[bool] = None,
     subchunks: int = _SUBCHUNKS,
+    int8_mm: bool = False,
 ) -> jnp.ndarray:
     """Voxelize one window of events into an (H, W) float32 event frame.
 
@@ -496,16 +527,16 @@ def event_histogram(
     if pos_thresh == neg_thresh:
         counts = _hist_pallas(
             yi, xi, sign, H=H, W=W, chunk=chunk, interpret=interpret,
-            subchunks=subchunks,
+            subchunks=subchunks, int8_mm=int8_mm,
         )
         return pos_thresh * counts
     pos_counts = _hist_pallas(
         yi, xi, jnp.maximum(sign, 0.0), H=H, W=W, chunk=chunk,
-        interpret=interpret, subchunks=subchunks,
+        interpret=interpret, subchunks=subchunks, int8_mm=int8_mm,
     )
     neg_counts = _hist_pallas(
         yi, xi, jnp.maximum(-sign, 0.0), H=H, W=W, chunk=chunk,
-        interpret=interpret, subchunks=subchunks,
+        interpret=interpret, subchunks=subchunks, int8_mm=int8_mm,
     )
     return pos_thresh * pos_counts - neg_thresh * neg_counts
 

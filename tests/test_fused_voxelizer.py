@@ -128,3 +128,29 @@ def test_wide_layout_matches_default(n_events):
         event_histogram_scaled(x, y, p, H, W, chunk=4096, subchunks=1)
     )
     np.testing.assert_allclose(wide_s, base_s, atol=2e-5)
+
+
+@pytest.mark.parametrize("n_events", [0, 37, 5000])
+def test_int8_matmul_matches_bf16(n_events):
+    """int8 one-hot matmuls (2x MXU rate) produce bit-identical frames:
+    one-hot entries are exact in int8 and counts accumulate exactly in
+    int32 before the f32 cast."""
+    rng = np.random.default_rng(11 + n_events)
+    H, W = 64, 86
+    x = jnp.asarray(rng.uniform(0, W, n_events), jnp.float32)
+    y = jnp.asarray(rng.uniform(0, H, n_events), jnp.float32)
+    p = jnp.asarray(rng.choice([-1, 1], n_events), jnp.int32)
+
+    base = np.asarray(event_histogram_scaled(x, y, p, H, W))
+    i8 = np.asarray(event_histogram_scaled(x, y, p, H, W, int8_mm=True))
+    np.testing.assert_array_equal(i8, base)
+
+    base_r = np.asarray(event_histogram_scaled_resized(x, y, p, H, W, 24, 30))
+    i8_r = np.asarray(
+        event_histogram_scaled_resized(x, y, p, H, W, 24, 30, int8_mm=True)
+    )
+    np.testing.assert_array_equal(i8_r, base_r)
+
+    base_h = np.asarray(event_histogram(x, y, p, H, W))
+    i8_h = np.asarray(event_histogram(x, y, p, H, W, int8_mm=True))
+    np.testing.assert_array_equal(i8_h, base_h)
