@@ -33,6 +33,9 @@ CKPT=$(pick "$OUT/pipeline_logs/joint_dagger.log" 2>/dev/null)
 if [ -n "$CKPT" ] && [ -f "$CKPT" ]; then
   run parity_closed_loop python tools/torch_parity_closed_loop.py \
     --ckpt "$CKPT" --frames 120
+  # the tool prints its report as the last JSON line; keep it durable
+  grep -o '{.*}' "$LOG/parity_closed_loop.log" | tail -1 \
+    > /root/repo/artifacts/parity_closed_loop.json
   # HIL with the REAL trained model + renderer-backed event sensor
   # (VERDICT r2 #5); json lands in the durable repo artifacts dir
   run hil_real python tools/hil_real_model.py --ckpt "$CKPT" \
