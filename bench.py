@@ -69,15 +69,36 @@ def main():
     ep = jnp.asarray(rng.choice([-1, 1], (N_WINDOWS, N_EVENTS)), jnp.int32)
     desvel = jnp.full((N_WINDOWS, 1), 4.0, jnp.float32)
 
+    def bf16enc(params):
+        # serving cast: encoder/decoder/head weights to bf16 (halves HBM
+        # bytes + VPU lanes on the elementwise-bound ViT); the LSTM keeps
+        # f32 (its fused kernel accumulates f32, and the concat with f32
+        # desvel/quat promotes its input back to f32 anyway)
+        return {
+            k: (
+                v.astype(jnp.bfloat16)
+                if v.dtype == jnp.float32 and not k.startswith("lstm.")
+                else v
+            )
+            for k, v in params.items()
+        }
+
     def make_step(
         use_fused, use_wide=None, use_resize=False, use_flstm=False,
-        use_int8=False,
+        use_int8=False, use_bf16enc=False,
     ):
         CHUNK = 5120 if (wide if use_wide is None else use_wide) else 640
         SUBCH = 1 if (wide if use_wide is None else use_wide) else 8
         # trace-time switch: the jitted step below traces on its first call
         # (inside the ladder's try), before any other rung flips the flag
         set_fused_lstm(use_flstm)
+
+        def model_vel(params, small, desvel):
+            if use_bf16enc:
+                params = bf16enc(params)
+                small = small.astype(jnp.bfloat16)
+            vel, _h, _u = model.apply(params, [small, desvel, None, None])
+            return vel
 
         @jax.jit
         def step(params, ex, ey, ep, desvel):
@@ -94,8 +115,7 @@ def main():
                         int8_mm=use_int8,
                     )
                 )(ex, ey, ep)[:, None]
-                vel, _h, _u = model.apply(params, [small, desvel, None, None])
-                return vel
+                return model_vel(params, small, desvel)
             if use_fused:
                 # voxelize + 97th-percentile normalize in one Pallas kernel:
                 # the bisection runs on the VMEM-resident accumulator (no HBM
@@ -117,8 +137,7 @@ def main():
                 q = jnp.where(q > 0, q, 1.0)
                 frames = jnp.clip(frames / q[:, None, None], -1.0, 1.0)
             small = interpolate_bilinear(frames[:, None], (60, 90))
-            vel, _h, _u = model.apply(params, [small, desvel, None, None])
-            return vel
+            return model_vel(params, small, desvel)
 
         return step
 
@@ -136,7 +155,19 @@ def main():
     # measured 92.9k vs 84.5k windows/s on the voxelize+scale+resize stage
     # (48.8k vs 46.6k end-to-end, 2026-08-18)
     int8 = os.environ.get("BENCH_INT8", "1") != "0"
+    # bf16 encoder weights/activations (LSTM stays f32): opt-in until the
+    # on-chip A/B shows speed AND an acceptable |dvel| vs f32 (breakdown
+    # prints both)
+    b16e = os.environ.get("BENCH_BF16ENC", "0") != "0"
     ladder = [
+        (
+            "fused+resize+flstm+int8+bf16enc",
+            fused and resize_fused and flstm and int8 and b16e,
+            dict(
+                use_fused=True, use_wide=wide, use_resize=True,
+                use_flstm=True, use_int8=True, use_bf16enc=True,
+            ),
+        ),
         (
             "fused+resize+flstm+int8",
             fused and resize_fused and flstm and int8,
@@ -269,6 +300,73 @@ def main():
             except Exception as e:  # noqa: BLE001
                 print(f"scan-LSTM breakdown unavailable: {repr(e)[:300]}", file=sys.stderr)
             set_fused_lstm(True)
+        # encoder/recurrence split of the model forward: the ViT encoder is
+        # batched over all 256 windows (pure MXU work); the LSTM is the
+        # serial tail.  Timing values don't depend on activations, so the
+        # LSTM input is synthetic (512 enc features + desvel + 4 pad = 517).
+        from evfly_tpu.models.common import sub as _sub
+        from evfly_tpu.models.recurrent import lstm_apply as _lstm_apply
+
+        enc_sum = jax.jit(lambda params, small: model._encode(params, small).sum())
+        feat = jnp.asarray(
+            np.random.default_rng(1).standard_normal((N_WINDOWS, 517)), jnp.float32
+        )
+        lstm_sum = jax.jit(
+            lambda params, feat: _lstm_apply(
+                _sub(params, "lstm"), feat, None, num_layers=3, hidden_size=128
+            )[0].sum()
+        )
+        from evfly_tpu.models import recurrent as _rec
+        from evfly_tpu.ops.lstm_pallas import lstm_apply_fused as _laf
+
+        lstm_wf_sum = jax.jit(
+            lambda params, feat: _laf(
+                _sub(params, "lstm"), feat, None, 3, 128, mode="wavefront"
+            )[0].sum()
+        )
+        _flag = _rec._USE_FUSED_LSTM
+        set_fused_lstm(False)
+        lstm_scan_sum = jax.jit(
+            lambda params, feat: _lstm_apply(
+                _sub(params, "lstm"), feat, None, num_layers=3, hidden_size=128
+            )[0].sum()
+        )
+        try:
+            _ = jax.device_get(lstm_scan_sum(params, feat))  # warm (traces scan)
+            stages.append(("lstm only (lax.scan)", lstm_scan_sum, (params, feat)))
+        except Exception as e:  # noqa: BLE001
+            print(f"scan lstm-only breakdown unavailable: {repr(e)[:300]}", file=sys.stderr)
+        set_fused_lstm(_flag)
+        try:
+            _ = jax.device_get(enc_sum(params, small))  # warm
+            _ = jax.device_get(lstm_sum(params, feat))  # warm
+            stages.append(("vit_encode only", enc_sum, (params, small)))
+            stages.append(("lstm only (selected impl)", lstm_sum, (params, feat)))
+        except Exception as e:  # noqa: BLE001
+            print(f"enc/lstm split breakdown unavailable: {repr(e)[:300]}", file=sys.stderr)
+        try:
+            _ = jax.device_get(lstm_wf_sum(params, feat))  # warm
+            stages.append(("lstm only (wavefront)", lstm_wf_sum, (params, feat)))
+        except Exception as e:  # noqa: BLE001
+            print(f"wavefront lstm breakdown unavailable: {repr(e)[:300]}", file=sys.stderr)
+        model_bf16 = jax.jit(
+            lambda params, small, desvel: model.apply(
+                bf16enc(params),
+                [small.astype(jnp.bfloat16), desvel, None, None],
+            )[0]
+        )
+        try:
+            vb = jax.device_get(model_bf16(params, small, desvel))  # warm
+            vf = jax.device_get(model_only(params, small, desvel))
+            print(
+                f"bf16-encoder max|dvel| vs f32: {np.abs(vb - vf).max():.2e}",
+                file=sys.stderr,
+            )
+            stages.append(
+                ("model_forward (bf16 encoder)", model_bf16, (params, small, desvel))
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"bf16-encoder breakdown unavailable: {repr(e)[:300]}", file=sys.stderr)
         for name, fn, args in stages:
             t0 = time.perf_counter()
             o = None

@@ -54,6 +54,7 @@ class StreamingPipeline:
         input_hw: Tuple[int, int] = (260, 346),
         quantile_scale: bool = True,
         fast_percentile: bool = False,
+        int8_voxelize: bool = False,
     ):
         self.model = model
         self.params = params
@@ -61,6 +62,9 @@ class StreamingPipeline:
         self.input_hw = input_hw
         self.quantile_scale = quantile_scale
         self.fast_percentile = fast_percentile
+        # int8 one-hot voxelizer matmuls: bit-identical counts at 2x the
+        # MXU rate (ops/voxelizer._accumulate_subchunks); serving opt-in
+        self.int8_voxelize = int8_voxelize
         self.hidden = model.init_hidden()
 
         @functools.partial(jax.jit, donate_argnums=(2,))
@@ -79,7 +83,7 @@ class StreamingPipeline:
 
         @functools.partial(jax.jit, donate_argnums=(4,))
         def _step_events(params, ex, ey, ep, hidden, desvel_arr):
-            frame = event_histogram(ex, ey, ep, H, W)
+            frame = event_histogram(ex, ey, ep, H, W, int8_mm=self.int8_voxelize)
             if self.quantile_scale:
                 frame = _quantile_scale(frame, fast=self.fast_percentile)
             x = frame.reshape(1, 1, H, W)

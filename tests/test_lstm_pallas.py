@@ -36,23 +36,27 @@ def _torch_layout_params(rng, input_size, hidden, layers, bias=True):
     return params
 
 
+@pytest.mark.parametrize("mode", ["stacked", "wavefront"])
 @pytest.mark.parametrize("layers", [1, 3])
 @pytest.mark.parametrize("bias", [True, False])
-def test_fused_matches_scan(layers, bias):
+def test_fused_matches_scan(layers, bias, mode):
     rng = np.random.default_rng(layers * 10 + bias)
     T, input_size, hidden = 17, 37, 128
     params = _torch_layout_params(rng, input_size, hidden, layers, bias)
     x = jnp.asarray(rng.normal(size=(T, input_size)), jnp.float32)
 
     out_ref, (h_ref, c_ref) = lstm_apply(params, x, None, layers, hidden)
-    out_f, (h_f, c_f) = lstm_apply_fused(params, x, None, layers, hidden)
+    out_f, (h_f, c_f) = lstm_apply_fused(
+        params, x, None, layers, hidden, mode=mode
+    )
 
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_ref), atol=2e-5)
     np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_ref), atol=2e-5)
     np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_ref), atol=2e-5)
 
 
-def test_fused_carried_hidden():
+@pytest.mark.parametrize("mode", ["stacked", "wavefront"])
+def test_fused_carried_hidden(mode):
     """Carried (h, c) across calls (the streaming recurrence contract):
     two fused T/2 segments == one scan pass over T."""
     rng = np.random.default_rng(7)
@@ -62,8 +66,12 @@ def test_fused_carried_hidden():
 
     out_ref, hid_ref = lstm_apply(params, x, None, layers, hidden)
 
-    out_a, hid = lstm_apply_fused(params, x[: T // 2], None, layers, hidden)
-    out_b, hid = lstm_apply_fused(params, x[T // 2 :], hid, layers, hidden)
+    out_a, hid = lstm_apply_fused(
+        params, x[: T // 2], None, layers, hidden, mode=mode
+    )
+    out_b, hid = lstm_apply_fused(
+        params, x[T // 2 :], hid, layers, hidden, mode=mode
+    )
 
     np.testing.assert_allclose(
         np.concatenate([np.asarray(out_a), np.asarray(out_b)]),
@@ -72,6 +80,30 @@ def test_fused_carried_hidden():
     )
     np.testing.assert_allclose(np.asarray(hid[0]), np.asarray(hid_ref[0]), atol=3e-5)
     np.testing.assert_allclose(np.asarray(hid[1]), np.asarray(hid_ref[1]), atol=3e-5)
+
+
+@pytest.mark.parametrize("T", [1, 2])
+def test_wavefront_edge_short_sequence(T):
+    """T < L exercises the wavefront ramp-up/drain masking (layers idle at
+    the triangle corners of the (layer, time) grid)."""
+    rng = np.random.default_rng(21 + T)
+    params = _torch_layout_params(rng, 9, 128, 3)
+    x = jnp.asarray(rng.normal(size=(T, 9)), jnp.float32)
+    out_ref, (h_ref, c_ref) = lstm_apply(params, x, None, 3, 128)
+    out_f, (h_f, c_f) = lstm_apply_fused(
+        params, x, None, 3, 128, mode="wavefront"
+    )
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_ref), atol=2e-5)
+
+
+def test_unknown_mode_raises():
+    rng = np.random.default_rng(2)
+    params = _torch_layout_params(rng, 8, 128, 1)
+    x = jnp.asarray(rng.normal(size=(4, 8)), jnp.float32)
+    with pytest.raises(ValueError, match="mode"):
+        lstm_apply_fused(params, x, None, 1, 128, mode="bogus")
 
 
 def test_fused_requires_lane_aligned_hidden():

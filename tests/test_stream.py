@@ -85,6 +85,19 @@ def test_streaming_pipeline_smoke(rng):
     vel3, _ = pipe.step_frame(frame)
     np.testing.assert_allclose(np.asarray(vel3), np.asarray(vel1), atol=1e-5)
 
+    # int8-voxelizer serving flag: raw events in, same contract out (the
+    # int8-vs-bf16 bit-identity itself is pinned at the op level in
+    # tests/test_fused_voxelizer.py::test_int8_matmul_matches_bf16)
+    pipe8 = StreamingPipeline(
+        model, params, desvel=4.0, input_hw=(196, 196), int8_voxelize=True
+    )
+    ex = jnp.asarray(rng.uniform(0, 196, 400), jnp.float32)
+    ey = jnp.asarray(rng.uniform(0, 196, 400), jnp.float32)
+    ep = jnp.asarray(rng.choice([-1, 1], 400), jnp.int32)
+    vel_e, depth_e = pipe8.step_events(ex, ey, ep)
+    assert vel_e.shape == (3,)
+    assert depth_e.shape == (196, 196)
+
 
 def test_stage_timer_percentiles():
     from evfly_tpu.utils.profiling import StageTimer
