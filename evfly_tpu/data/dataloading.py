@@ -234,6 +234,91 @@ def _load_folder_traj(folder: str, meta: np.ndarray, is_png: bool, logger):
     return meta, ims.astype(np.float32), depths
 
 
+_CACHE_VERSION = 1
+
+
+def _cache_dir_for(data_dir: str, key_parts) -> Optional[str]:
+    """Preprocessed-tensor cache location for a dataloader() call, or None.
+
+    The reference re-pays the full python load (h5 read, timestamp hygiene,
+    resize, percentile rescale — reference dataloading.py:398-533) in EVERY
+    process that opens the dataset; at 40k+ frames on one core that is
+    20-30 min per training phase.  We key a directory of .npy files on the
+    dataset file identity (path, mtime, size) plus every argument that
+    changes the returned tensors, and mmap it back on hit (<2 min instead).
+    Opt out with EVFLY_DATA_CACHE=0.
+    """
+    if os.environ.get("EVFLY_DATA_CACHE", "1") == "0":
+        return None
+    import hashlib
+    import json as _json
+
+    h = hashlib.blake2b(
+        _json.dumps(key_parts, sort_keys=True, default=str).encode(), digest_size=16
+    ).hexdigest()
+    return os.path.abspath(data_dir.rstrip("/")) + f"_cache/{h}"
+
+
+def _cache_save(cdir: str, train: "TrajectorySplit", val: "TrajectorySplit", is_png: bool):
+    import json as _json
+
+    tmp = cdir + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    meta = {"version": _CACHE_VERSION, "is_png": bool(is_png)}
+    for tag, split in (("train", train), ("val", val)):
+        np.save(opj(tmp, f"{tag}_meta.npy"), split.meta)
+        np.save(opj(tmp, f"{tag}_ims.npy"), split.ims)
+        np.save(opj(tmp, f"{tag}_depths.npy"), split.depths)
+        np.save(opj(tmp, f"{tag}_trajlength.npy"), split.trajlength)
+        np.save(opj(tmp, f"{tag}_desvel.npy"), split.desvel)
+        meta[f"{tag}_has_evs"] = split.evs is not None
+        if split.evs is not None:
+            np.save(opj(tmp, f"{tag}_evs.npy"),
+                    np.concatenate(split.evs) if split.evs else np.zeros((0, 1, 1), np.float32))
+            np.save(opj(tmp, f"{tag}_ev_lens.npy"),
+                    np.array([ev.shape[0] for ev in split.evs], np.int64))
+        meta[f"{tag}_dirs"] = list(map(str, split.dirs))
+        meta[f"{tag}_dirs_ids"] = [int(i) for i in split.dirs_ids]
+    with open(opj(tmp, "meta.json"), "w") as fh:
+        _json.dump(meta, fh)
+    if os.path.isdir(cdir):  # concurrent writer beat us; keep theirs
+        import shutil
+
+        shutil.rmtree(tmp)
+    else:
+        os.rename(tmp, cdir)
+
+
+def _cache_load(cdir: str, load_evs: bool):
+    import json as _json
+
+    with open(opj(cdir, "meta.json")) as fh:
+        meta = _json.load(fh)
+    if meta.get("version") != _CACHE_VERSION:
+        return None
+
+    def split(tag):
+        evs = None
+        if meta[f"{tag}_has_evs"]:
+            ev_lens = np.load(opj(cdir, f"{tag}_ev_lens.npy"))
+            evs_cat = np.load(opj(cdir, f"{tag}_evs.npy"), mmap_mode="r")
+            evs = np.split(evs_cat, np.cumsum(ev_lens)[:-1]) if len(ev_lens) else []
+        elif load_evs:
+            raise KeyError("cache entry lacks event frames")
+        return TrajectorySplit(
+            meta=np.load(opj(cdir, f"{tag}_meta.npy"), mmap_mode="r"),
+            ims=np.load(opj(cdir, f"{tag}_ims.npy"), mmap_mode="r"),
+            depths=np.load(opj(cdir, f"{tag}_depths.npy"), mmap_mode="r"),
+            trajlength=np.load(opj(cdir, f"{tag}_trajlength.npy")),
+            desvel=np.load(opj(cdir, f"{tag}_desvel.npy"), mmap_mode="r"),
+            evs=evs,
+            dirs=list(meta[f"{tag}_dirs"]),
+            dirs_ids=list(meta[f"{tag}_dirs_ids"]),
+        )
+
+    return split("train"), split("val"), bool(meta["is_png"])
+
+
 def dataloader(
     data_dir: str,
     val_split: float = 0.0,
@@ -256,6 +341,37 @@ def dataloader(
         logger = lambda msg: print(msg)
     if h5py is None:
         raise ImportError("h5py required for dataset loading")
+
+    # ---- preprocessed-tensor cache probe ----
+    _src = data_dir + ("_tf" if (do_transform and "_tf" not in data_dir) else "") + ".h5"
+    _st = os.stat(_src) if (os.path.exists(_src) and use_h5) else None
+    cache_dir = None
+    if _st is not None:
+        tvd_key = (
+            None
+            if train_val_dirs is None
+            else [list(map(str, part)) for part in train_val_dirs[:2]]
+            + [list(map(int, part)) for part in train_val_dirs[2:]]
+        )
+        cache_dir = _cache_dir_for(
+            data_dir,
+            dict(
+                v=_CACHE_VERSION, src=_src, mtime=_st.st_mtime_ns, size=_st.st_size,
+                val_split=val_split, short=short, seed=seed, tvd=tvd_key,
+                do_transform=do_transform, events=events,
+                keep_collisions=keep_collisions, resize_input=resize_input,
+                split_method=split_method, rescale_depth=rescale_depth,
+                rescale_evs=rescale_evs, evs_min_cutoff=evs_min_cutoff,
+            ),
+        )
+    if cache_dir is not None and os.path.isdir(cache_dir):
+        try:
+            hit = _cache_load(cache_dir, load_evs="frames" in events)
+            if hit is not None:
+                logger(f"[DATALOADER] Cache hit: {cache_dir}")
+                return hit
+        except Exception as e:  # corrupted/stale cache: fall through to full load
+            logger(f"[DATALOADER] Cache load failed ({e}), reloading from source")
 
     if events != "" and "." not in events:
         events = events + ("_tf.npy" if do_transform else ".npy")
@@ -477,4 +593,9 @@ def dataloader(
             dirs_ids=kept_ids[t0:t1],
         )
 
-    return make_split(tr_tr), make_split(va_tr), is_png or found_h5
+    out = make_split(tr_tr), make_split(va_tr), is_png or found_h5
+    if cache_dir is not None:
+        t0 = time.time()
+        _cache_save(cache_dir, out[0], out[1], out[2])
+        logger(f"[DATALOADER] Cached preprocessed tensors to {cache_dir} ({time.time()-t0:.0f}s)")
+    return out

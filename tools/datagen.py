@@ -95,7 +95,7 @@ def generate(
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", type=str, default="/data/evfly")
+    ap.add_argument("--out", type=str, default=os.environ.get("EVFLY_OUT", "/root/repo/.data/evfly"))
     ap.add_argument("--name", type=str, default="simgen_forest_big")
     ap.add_argument("--trials", type=int, default=120)
     ap.add_argument("--batch", type=int, default=24)

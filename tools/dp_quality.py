@@ -126,7 +126,7 @@ def run_arm(tmp, data_path, dp_devices, epochs, tag):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--src", default="/data/evfly/data/datasets/simgen_forest_planner.h5"
+        "--src", default=os.environ.get("EVFLY_OUT", "/root/repo/.data/evfly") + "/data/datasets/simgen_forest_planner.h5"
     )
     ap.add_argument("--trajs", type=int, default=6)
     ap.add_argument("--frames", type=int, default=40)

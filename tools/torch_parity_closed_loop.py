@@ -53,7 +53,7 @@ def load_frames(h5_path, n_frames):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True)
-    ap.add_argument("--h5", default="/data/evfly/data/datasets/simgen_forest_big.h5")
+    ap.add_argument("--h5", default=os.environ.get("EVFLY_OUT", "/root/repo/.data/evfly") + "/data/datasets/simgen_forest_big.h5")
     ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--reference", default="/root/reference")
     args = ap.parse_args()

@@ -40,8 +40,10 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-OUT = "/data/evfly"
-DATASETS = ["simgen_forest_big", "simgen_forest_planner"]
+# /data is wiped between rounds; default the data root to a gitignored dir
+# inside the (durable) repo so datasets/checkpoints survive across rounds.
+OUT = os.environ.get("EVFLY_OUT", "/root/repo/.data/evfly")
+DATASETS = os.environ.get("EVFLY_DATASETS", "simgen_forest_big,simgen_forest_planner").split(",")
 
 ENC = {
     "num_layers": 2, "kernel_sizes": [5, 3], "kernel_strides": [2, 2],
