@@ -218,7 +218,15 @@ def main():
     windows_per_sec = N_WINDOWS * n_iters / dt
 
     if os.environ.get("BENCH_BREAKDOWN", "0") != "0":
-        # stage split (stderr only; stdout stays the one graded JSON line)
+        # stage split (stderr only; stdout stays the one graded JSON line).
+        # Use the SELECTED rung's chunk layout, not the module-level wide
+        # flag: if a wide rung fell back to a narrow one, the breakdown must
+        # time the layout the headline number actually ran (advisor r3).
+        _bw = kw.get("use_wide")
+        _bw = wide if _bw is None else _bw
+        CHUNK = 5120 if _bw else 640
+        SUBCH = 1 if _bw else 8
+
         @jax.jit
         def vox_resize_only(ex, ey, ep):
             return jax.vmap(

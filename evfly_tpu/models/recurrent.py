@@ -37,7 +37,13 @@ def set_fused_lstm(enabled: bool) -> None:
     """Route eligible lstm_apply calls through the single-kernel Pallas scan
     (ops.lstm_pallas) — inference only, hidden_size % 128 == 0.  Serving /
     throughput paths opt in (bench.py); training and parity paths keep the
-    lax.scan reference implementation."""
+    lax.scan reference implementation.
+
+    TRACE-TIME semantics: the flag is read when a jitted caller is TRACED,
+    not when it runs.  Set it BEFORE the first call of any jitted function
+    that should route through the kernel; flipping it afterwards has no
+    effect on already-compiled traces (jit cache), and flipping it back does
+    not restore them.  bench.py orders its rungs around this."""
     global _USE_FUSED_LSTM
     _USE_FUSED_LSTM = enabled
 

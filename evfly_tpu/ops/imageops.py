@@ -238,6 +238,7 @@ def resize_matrix(n_in: int, n_out: int, align_corners: bool = False, n_out_pad:
     R = _np.zeros((rows, n_in), _np.float32)
     _np.add.at(R, (_np.arange(n_out), i0), (1.0 - w1).astype(_np.float32))
     _np.add.at(R, (_np.arange(n_out), i1), w1.astype(_np.float32))
+    R.setflags(write=False)  # lru_cache shares this array across callers
     return R
 
 

@@ -410,6 +410,17 @@ def _hist_pallas_fused_quantile_resize(
 ):
     from evfly_tpu.ops.imageops import resize_matrix
 
+    if not _HAS_PLTPU:
+        # the kernel signature includes a VMEM scratch accumulator; without
+        # jax.experimental.pallas.tpu there is nothing to pass for it (an
+        # empty scratch list would arity-crash the 8-arg kernel) — fail
+        # clearly instead (advisor r3)
+        raise NotImplementedError(
+            "event_histogram_scaled_resized requires jax.experimental.pallas.tpu "
+            "(VMEM scratch accumulator); use event_histogram + interpolate_bilinear "
+            "on builds without it"
+        )
+
     n = yi.shape[0]
     step = chunk * subchunks
     n_pad = max(((n + step - 1) // step) * step, step)
@@ -448,7 +459,7 @@ def _hist_pallas_fused_quantile_resize(
             pl.BlockSpec((HP, WP), lambda i: (0, 0)),
             pl.BlockSpec((8, 128), lambda i: (0, 0)),
         ),
-        scratch_shapes=[pltpu.VMEM((H, W), jnp.float32)] if _HAS_PLTPU else [],
+        scratch_shapes=[pltpu.VMEM((H, W), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * H * W * n_pad + iters * H * W + 2 * HP * W * (H + WP),
