@@ -134,21 +134,21 @@ if [ ! -f "$ART/latency_r04.json" ] && guard latency 600; then
 fi
 
 if [ ! -f "$ART/bench_ab_bf16.json" ] && guard bench_ab 900; then
+  run bf16_accept python tools/bf16_accept.py
   run bench_b0 env BENCH_BF16ENC=0 python bench.py
   run bench_b1 env BENCH_BF16ENC=1 python bench.py
-  python - "$LOG/bench_b0.log" "$LOG/bench_b1.log" > "$ART/bench_ab_bf16.json" <<'EOF'
-import json, re, sys
+  python - "$LOG/bf16_accept.log" "$LOG/bench_b0.log" "$LOG/bench_b1.log" \
+    > "$ART/bench_ab_bf16.json" <<'EOF'
+import json, sys
 out = {}
-for tag, path in (("f32enc", sys.argv[1]), ("bf16enc", sys.argv[2])):
+acc = [l for l in open(sys.argv[1]).read().splitlines() if l.startswith("{")]
+out["accept"] = json.loads(acc[-1]) if acc else None
+for tag, path in (("f32enc", sys.argv[2]), ("bf16enc", sys.argv[3])):
     txt = open(path).read()
     js = [l for l in txt.splitlines() if l.startswith('{"metric"')]
     out[tag] = json.loads(js[-1]) if js else None
-    m = re.findall(r"max\|dvel\|[^\n]*", txt)
-    if m:
-        out[tag + "_dvel"] = m[-1]
 print(json.dumps(out, indent=2))
 EOF
-  keep "$ART/bench_ab_bf16.json"
 fi
 
 echo "=== $(date -u +%H:%M:%S) followups complete"
