@@ -101,6 +101,13 @@ _SPEC = {
     # over trajectories with the per-trajectory LR schedule computed on
     # device. Supersedes traj_scan when device data is resident.
     "epoch_scan": (bool, False, True),
+    # with epoch_scan: dispatch the trajectory scan in groups of this many
+    # trajectories (last group padded with n_valid=0 rows) instead of the
+    # whole epoch at once. 0 = one dispatch per epoch. Bounds per-dispatch
+    # device runtime (the axon tunnel killed a ~10-min single-dispatch
+    # OrigUNet epoch with a worker fault) while keeping dispatch overhead
+    # at T/group instead of T per epoch.
+    "scan_group": (int, False, 0),
     # store the device-resident training frames quantized (int8 events in
     # [-1,1]/127 steps, uint8 depths in [0,1]/255 steps): 4-8x less HBM and
     # host->device transfer over the tunnel. <=0.8% frame error; training

@@ -550,11 +550,22 @@ class Learner:
             n_chunks = -(-len(ids) // B) if len(ids) else 0
             start[t, n_chunks:] = start[t, 0]
             ev_start[t, n_chunks:] = ev_start[t, 0]
-        return {
-            "start": jnp.asarray(start),
-            "ev_start": jnp.asarray(ev_start),
-            "n_valid": jnp.asarray(n_valid),
-        }
+        return {"start": start, "ev_start": ev_start, "n_valid": n_valid}
+
+    @staticmethod
+    def _group_rows(idxs, rows_extra, g0, g1, G):
+        """Slice rows [g0:g1) of (T, C) epoch index arrays plus companion
+        (T, ...) arrays, padding to G rows with n_valid == 0 copies of the
+        slice's first row (cond-skipped on device)."""
+        n = g1 - g0
+        pad = G - n
+        sl = {k: v[g0:g1] for k, v in idxs.items()}
+        extra = [v[g0:g1] for v in rows_extra]
+        if pad:
+            sl = {k: np.concatenate([v, np.repeat(v[:1], pad, 0)]) for k, v in sl.items()}
+            sl["n_valid"][n:] = 0
+            extra = [np.concatenate([v, np.repeat(v[-1:], pad, 0)]) for v in extra]
+        return sl, extra, n
 
     def _get_epoch_step(self, B: int, C: int):
         from .stepfn import make_epoch_train_step
@@ -600,8 +611,11 @@ class Learner:
         return step
 
     def _run_epoch_scanned(self, traj_starts, traj_lengths, traj_ids, B: int):
-        """One training epoch = ONE device dispatch (stepfn
-        .make_epoch_train_step).  Returns (ep_loss, ep_terms, gradnorm)."""
+        """One training epoch in cfg.scan_group-sized dispatches (0 = the
+        whole epoch as ONE dispatch; stepfn.make_epoch_train_step).  Group
+        results stay device-side until the end of the epoch — dispatches
+        queue asynchronously on the tunnel, one sync per epoch.  Returns
+        (ep_loss, ep_terms, gradnorm)."""
         dd = self._get_device_data("train", B)
         device_data, ev_offsets = dd
         C = self._scan_C(B, "train")
@@ -609,20 +623,29 @@ class Learner:
         idxs = self._epoch_idxs("train", traj_starts, traj_lengths, traj_ids,
                                 ev_offsets, B, C)
         T = len(traj_starts)
+        G = min(int(self.cfg.scan_group) or T, T)
+        its_all = (self.total_its + np.arange(T)).astype(np.int32)
         self._rng, k = jax.random.split(self._rng)
-        rngs = jax.random.split(k, T)
-        self.params, self.opt_state, losses, values, gns = step(
-            self.params, self.opt_state, device_data, idxs, rngs,
-            jnp.asarray(self.total_its, jnp.int32),
-        )
-        losses = np.asarray(losses)
+        rngs = np.asarray(jax.random.split(k, T))
+        parts = []  # (n_real, losses_dev, values_dev, gns_dev)
+        for g0 in range(0, T, G):
+            sl, (rngs_g, its_g), n = self._group_rows(
+                idxs, [rngs, its_all], g0, min(g0 + G, T), G
+            )
+            self.params, self.opt_state, losses, values, gns = step(
+                self.params, self.opt_state, device_data, sl, rngs_g, its_g
+            )
+            parts.append((n, losses, values, gns))
+        losses = np.concatenate([np.asarray(l)[:n] for n, l, _, _ in parts])
+        values = np.concatenate([np.asarray(v)[:n] for n, _, v, _ in parts])
+        gns = np.concatenate([np.asarray(g)[:n] for n, _, _, g in parts])
         assert not np.isnan(losses).any(), "[TRAIN] NaN loss in epoch scan"
         self.total_its += T
         self._last_lr = self.lr_scheduler(self.total_its - 1)
         return (
             float(losses.sum()) / max(T, 1),
-            np.asarray(values).sum(0) / max(T, 1),
-            float(np.asarray(gns).mean()),
+            values.sum(0) / max(T, 1),
+            float(gns.mean()),
         )
 
     # -------------------------------------------------------------- run_model
@@ -1000,7 +1023,8 @@ class Learner:
             else None
         )
         if dd is not None:
-            # whole validation epoch in one dispatch (epoch-scan path)
+            # whole validation epoch in scan_group-sized dispatches
+            # (epoch-scan path; 0 = one dispatch)
             device_data, ev_offsets = dd
             C = self._scan_C(B, "val")
             step = self._get_epoch_eval_step(B, C)
@@ -1009,10 +1033,21 @@ class Learner:
                 "val", val_traj_starts, self.val.trajlength, np.arange(T),
                 ev_offsets, B, C,
             )
+            G = min(int(self.cfg.scan_group) or T, T) if T else 1
             self._rng, k = jax.random.split(self._rng)
-            losses, values = step(self.params, device_data, idxs, jax.random.split(k, T))
-            ep_loss = float(np.asarray(losses).sum()) / max(T, 1)
-            ep_loss_terms = np.asarray(values).mean(0) if T else np.zeros(2)
+            rngs = np.asarray(jax.random.split(k, max(T, 1)))
+            parts = []
+            for g0 in range(0, T, G):
+                sl, (rngs_g,), n = self._group_rows(
+                    idxs, [rngs], g0, min(g0 + G, T), G
+                )
+                losses, values = step(self.params, device_data, sl, rngs_g)
+                parts.append((n, losses, values))
+            if parts:
+                losses = np.concatenate([np.asarray(l)[:n] for n, l, _ in parts])
+                values = np.concatenate([np.asarray(v)[:n] for n, _, v in parts])
+            ep_loss = float(losses.sum()) / max(T, 1) if parts else 0.0
+            ep_loss_terms = values.mean(0) if parts else np.zeros(2)
         else:
             for it in range(self.num_val_steps):
                 (loss, loss_terms), _ = self.run_model(

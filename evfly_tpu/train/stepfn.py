@@ -276,10 +276,13 @@ def make_epoch_train_step(model, kind, optimizer, loss_weights, optional_loss_pa
     in jnp from the iteration counter), so an epoch is ONE dispatch + ONE
     sync.
 
-    Signature: (params, opt_state, data, idxs, rngs, it0) ->
+    Signature: (params, opt_state, data, idxs, rngs, its) ->
     (params, opt_state, losses (T,), values (T, n_terms), gradnorms (T,))
     with idxs {'start','ev_start','n_valid'} each (T, C) int32, rngs (T, 2),
-    it0 the epoch's starting total_its.
+    its (T,) int32 the per-trajectory total_its counters (the caller owns the
+    numbering, so a GROUP of trajectories — a slice of the epoch padded to a
+    fixed T, see Learner cfg.scan_group — reuses this same program: bounded
+    per-dispatch device runtime with epoch-scan dispatch economics).
     """
     step = make_train_step(
         model, kind, optimizer, loss_weights, optional_loss_param,
@@ -299,7 +302,7 @@ def make_epoch_train_step(model, kind, optimizer, loss_weights, optional_loss_pa
         )
         return jnp.where(it < warm_iters, warm, decayed)
 
-    def epoch_step(params, opt_state, data, idxs, rngs, it0):
+    def epoch_step(params, opt_state, data, idxs, rngs, its):
         def chunk_body(carry, x):
             idx, k = x
 
@@ -327,8 +330,6 @@ def make_epoch_train_step(model, kind, optimizer, loss_weights, optional_loss_pa
             n_real = jnp.maximum((idxs_t["n_valid"] > 0).sum(), 1)
             return (params, opt_state), (losses.sum(), values.sum(0), gns.sum() / n_real)
 
-        T = idxs["start"].shape[0]
-        its = it0 + jnp.arange(T, dtype=jnp.int32)
         (params, opt_state), (losses, values, gns) = jax.lax.scan(
             traj_body, (params, opt_state), (idxs, rngs, its)
         )

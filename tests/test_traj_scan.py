@@ -92,6 +92,31 @@ def test_epoch_scan_matches_per_chunk(tmp_path, rng):
         )
 
 
+def test_epoch_scan_grouped_matches_whole(tmp_path, rng):
+    """Grouped epoch scan (cfg.scan_group: bounded-runtime dispatches with
+    padded trailing groups) computes exactly what the single-dispatch epoch
+    scan computes — same per-trajectory rng keys, same its counters."""
+    data_path = _mixed_length_dataset(tmp_path, rng, lengths=(17, 9, 25))
+
+    def run(scan_group, sub):
+        cfg = _base_config(
+            tmp_path, data_path, ws_suffix=f"_{sub}", traj_scan=False,
+            epoch_scan=True, scan_group=scan_group, N_eps=2,
+            data_augmentation=0.0, seed=5, model_type=["VITFLY_ConvNet"],
+            lr_warmup_epochs=1,
+        )
+        learner = Learner(cfg)
+        learner.train_loop()
+        return learner
+
+    lg = run(2, "grp")   # 3 trajs in groups of 2: last group padded
+    lw = run(0, "whole")
+    for k in lg.params:
+        np.testing.assert_allclose(
+            np.asarray(lg.params[k]), np.asarray(lw.params[k]), atol=5e-4, err_msg=k
+        )
+
+
 def test_epoch_scan_with_warmup_lr(tmp_path, rng):
     """On-device LR schedule: warmup active (lr_warmup_epochs=1) — both
     paths must still agree (the schedule is evaluated per trajectory)."""

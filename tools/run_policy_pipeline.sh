@@ -118,12 +118,17 @@ if [ ! -f "$ART/parity_closed_loop.json" ] && guard parity_closed_loop 600; then
 fi
 
 if [ ! -f "$ART/hil_real.json" ] && guard hil_real 600; then
+  # the native .so is a build product (gitignored) — gone after a wipe
+  make -C evfly_tpu/native >/dev/null 2>&1
   run hil_real python tools/hil_real_model.py --ckpt "$J_CKPT" \
     --out-json "$ART/hil_real.json"
 fi
 
 if [ ! -f "$ART/dp_quality.json" ] && guard dp_quality 900; then
-  run dp_quality python tools/dp_quality.py \
+  # chunk-DP quality runs on the virtual 8-CPU mesh, not the chip
+  run dp_quality env JAX_PLATFORMS=cpu \
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    python tools/dp_quality.py \
     --src "$OUT/data/datasets/simgen_forest_big.h5" \
     --out-json "$ART/dp_quality.json"
 fi

@@ -110,6 +110,9 @@ def _train(cfg):
 
 
 def cmd_pretrain_v(args):
+    over = {}
+    if getattr(args, "init", None):
+        over = dict(checkpoint_path=[_as_epoch0(args.init, "v")], load_trainval=False)
     cfg = _cfg(
         OUT, "pretrain_v", DATASETS,
         model_type=["VITFLY_ViTLSTM"],
@@ -121,11 +124,15 @@ def cmd_pretrain_v(args):
         N_eps=args.epochs,
         save_model_freq=max(args.epochs // 2, 1),
         val_freq=1,
+        **over,
     )
     return _train(cfg)
 
 
 def cmd_pretrain_d(args):
+    over = {}
+    if getattr(args, "init", None):
+        over = dict(checkpoint_path=[_as_epoch0(args.init, "d")], load_trainval=False)
     cfg = _cfg(
         OUT, "pretrain_d", DATASETS,
         model_type=["OrigUNet"],
@@ -134,12 +141,16 @@ def cmd_pretrain_d(args):
         # dataset exceeded v5e HBM (observed RESOURCE_EXHAUSTED); halving
         # the chunk halves the stash.  Validation (stash-free) fits at 32.
         batch_size=16,
-        # per-trajectory scan, not whole-epoch scan: the epoch-sized
-        # OrigUNet program crashed the TPU worker ("kernel fault") where
-        # the trajectory-sized program is the round-1-proven path; the
-        # cost is one host sync per trajectory (~140/epoch).
-        epoch_scan=False,
+        # grouped epoch scan: a whole-epoch OrigUNet dispatch crashed the
+        # TPU worker in r2 (likely the tunnel's bound on single-dispatch
+        # runtime); groups of 16 trajectories bound the dispatch to ~10 s
+        # while cutting per-trajectory dispatch overhead ~16x (r4 measured
+        # ~85 s/epoch at 16k frames on the per-trajectory path, most of it
+        # tunnel dispatch).
+        epoch_scan=True,
+        scan_group=16,
         velpred=0,
+        **over,
         num_in_channels=2,           # event input
         num_out_channels=1,
         bev=2,
@@ -157,7 +168,8 @@ def _joint_cfg(args, **over):
     kw = dict(
         model_type=["OrigUNet", "VITFLY_ViTLSTM"],
         batch_size=16,               # HBM headroom — see cmd_pretrain_d
-        epoch_scan=False,            # worker-crash workaround — see cmd_pretrain_d
+        epoch_scan=True,             # grouped — see cmd_pretrain_d
+        scan_group=16,
         velpred=0,
         num_in_channels=2,
         num_out_channels=1,
@@ -301,8 +313,11 @@ def main():
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    p = sub.add_parser("pretrain_v"); p.add_argument("--epochs", type=int, default=10)
-    p = sub.add_parser("pretrain_d"); p.add_argument("--epochs", type=int, default=10)
+    for name in ("pretrain_v", "pretrain_d"):
+        p = sub.add_parser(name)
+        p.add_argument("--epochs", type=int, default=10)
+        p.add_argument("--init", type=str, default=None,
+                       help="warm-start checkpoint (copied to an ep000000 name)")
     for name in ("joint", "scratch"):
         p = sub.add_parser(name)
         p.add_argument("--epochs", type=int, default=20)
