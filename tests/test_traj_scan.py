@@ -117,6 +117,35 @@ def test_epoch_scan_grouped_matches_whole(tmp_path, rng):
         )
 
 
+def test_group_rows_padding():
+    """Learner._group_rows: trailing-group padding repeats the slice's first
+    index row with n_valid zeroed (device cond-skips it) and repeats the last
+    row of companion arrays; full groups pass through unpadded."""
+    T, C, G = 5, 3, 4
+    idxs = {
+        "start": np.arange(T * C, dtype=np.int32).reshape(T, C),
+        "ev_start": np.arange(T * C, dtype=np.int32).reshape(T, C) + 100,
+        "n_valid": np.ones((T, C), np.int32),
+    }
+    rngs = np.arange(T * 2, dtype=np.uint32).reshape(T, 2)
+
+    sl, (rngs_g,), n = Learner._group_rows(idxs, [rngs], 0, 4, G)
+    assert n == 4
+    for k in idxs:
+        np.testing.assert_array_equal(sl[k], idxs[k][:4])
+    np.testing.assert_array_equal(rngs_g, rngs[:4])
+
+    # trailing group: rows [4:5) padded to G=4
+    sl, (rngs_g,), n = Learner._group_rows(idxs, [rngs], 4, 5, G)
+    assert n == 1
+    assert sl["start"].shape == (G, C) and rngs_g.shape == (G, 2)
+    np.testing.assert_array_equal(sl["start"], np.repeat(idxs["start"][4:5], G, 0))
+    np.testing.assert_array_equal(sl["n_valid"][0], idxs["n_valid"][4])
+    assert (sl["n_valid"][1:] == 0).all()          # padded rows skipped on device
+    np.testing.assert_array_equal(rngs_g, np.repeat(rngs[4:5], G, 0))
+    assert (idxs["n_valid"] == 1).all()            # caller's arrays untouched
+
+
 def test_epoch_scan_with_warmup_lr(tmp_path, rng):
     """On-device LR schedule: warmup active (lr_warmup_epochs=1) — both
     paths must still agree (the schedule is evaluated per trajectory)."""
