@@ -83,18 +83,16 @@ for i in $(seq 1 120); do
 done
 export EVFLY_DATASETS=simgen_forest_big,simgen_forest_big2,simgen_forest_planner
 
-# ---------------- scaled training (warm-started from the MV checkpoints) ----------------
-
-guard pretrain_v_v2 1800 && train_phase pretrain_v_v2 pretrain_v_v2.pth \
-  pretrain_v --epochs 15 --init "$ART/pretrain_v_final.pth" || true
-guard pretrain_d_v2 2400 && train_phase pretrain_d_v2 pretrain_d_v2.pth \
-  pretrain_d --epochs 10 --init "$ART/pretrain_d_final.pth" || true
-V2_V=$ART/pretrain_v_v2.pth; [ -f "$V2_V" ] || V2_V=$ART/pretrain_v_final.pth
-V2_D=$ART/pretrain_d_v2.pth; [ -f "$V2_D" ] || V2_D=$ART/pretrain_d_final.pth
+# ---------------- scaled training (warm-started from the MV joint) ----------------
+# The MV chain already demonstrated the reference pretrain->combine->joint
+# recipe (artifacts/eval_joint.json); the scale-up resumes the COMBINED MV
+# joint checkpoint directly on the 3x data mix — every training minute goes
+# to the serving model, and the saved pretrain time funds two DAgger rounds
+# (the covariate-shift lever the eval numbers say we need).
 
 guard joint_v2 2400 || exit 0
 train_phase joint_v2 joint_v2.pth \
-  joint --epochs 12 --logsub joint_v2 --d-ckpt "$V2_D" --v-ckpt "$V2_V" || exit 1
+  joint --epochs 10 --logsub joint_v2 --resume "$ART/joint_final.pth" || exit 1
 J2=$ART/joint_v2.pth
 
 eval_phase eval_joint_v2 "$J2"
@@ -102,13 +100,15 @@ eval_phase eval_joint_v2 "$J2"
 # ---------------- DAgger round 1 ----------------
 
 if [ ! -f "$OUT/data/datasets/dagger_r1.h5" ]; then
+  # 24 trials/round: two DAgger sets (~6.6k frames each) must fit the
+  # device-resident HBM budget on top of the ~46k-frame base mix
   guard dagger_r1 900 && \
   run dagger_r1 python tools/train_policy.py dagger --ckpt "$J2" \
-    --trials 40 --batch 20 --name dagger_r1
+    --trials 24 --batch 24 --name dagger_r1
 fi
 if [ -f "$OUT/data/datasets/dagger_r1.h5" ]; then
   guard joint_dagger 2400 && train_phase joint_dagger joint_dagger_final.pth \
-    joint --epochs 6 --logsub joint_dagger --resume "$J2" --extra-data dagger_r1
+    joint --epochs 5 --logsub joint_dagger --resume "$J2" --extra-data dagger_r1
 fi
 JD1=$ART/joint_dagger_final.pth
 [ -f "$JD1" ] && eval_phase eval_dagger "$JD1"
@@ -118,11 +118,11 @@ JD1=$ART/joint_dagger_final.pth
 if [ -f "$JD1" ] && [ ! -f "$OUT/data/datasets/dagger_r2.h5" ]; then
   guard dagger_r2 900 && \
   run dagger_r2 python tools/train_policy.py dagger --ckpt "$JD1" \
-    --trials 40 --batch 20 --seed 60000 --name dagger_r2
+    --trials 24 --batch 24 --seed 60000 --name dagger_r2
 fi
 if [ -f "$OUT/data/datasets/dagger_r2.h5" ]; then
   guard joint_dagger2 2400 && train_phase joint_dagger2 joint_dagger2_final.pth \
-    joint --epochs 6 --logsub joint_dagger2 --resume "$JD1" \
+    joint --epochs 5 --logsub joint_dagger2 --resume "$JD1" \
     --extra-data dagger_r1 dagger_r2
 fi
 JD2=$ART/joint_dagger2_final.pth
