@@ -264,8 +264,15 @@ def cmd_eval(args):
     n_success = sum(1 for s in summaries if s.get("Success"))
     n_finish = sum(1 for s in summaries if "time_to_finish" in s)
     crashes = [s.get("number_crashes", -1) for s in summaries]
+    # dodge diagnostic: in vision mode the logged velcmd columns (13:16 of
+    # the 21-col reference data.csv layout) hold the EXECUTED policy
+    # command — lateral magnitude is the "does it dodge" signal (round-1
+    # failure mode was |vy| <= 0.17 m/s, i.e. near-constant output)
+    vy = [np.abs(r["log"][:, 14]) for r in results if len(r["log"])]
     report = {
         "ckpt": args.ckpt,
+        "mean_abs_vy_cmd": float(np.mean([v.mean() for v in vy])) if vy else None,
+        "p95_abs_vy_cmd": float(np.mean([np.percentile(v, 95) for v in vy])) if vy else None,
         "trials": len(summaries),
         "success_rate": n_success / len(summaries),
         "finish_rate": n_finish / len(summaries),
@@ -278,7 +285,8 @@ def cmd_eval(args):
     with open(out_json, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps({k: report[k] for k in
-                      ("trials", "success_rate", "finish_rate", "mean_crashes", "crashes")}))
+                      ("trials", "success_rate", "finish_rate", "mean_crashes",
+                       "crashes", "mean_abs_vy_cmd", "p95_abs_vy_cmd")}))
     return report
 
 
