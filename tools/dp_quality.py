@@ -39,6 +39,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+# The axon sitecustomize rewrites jax_platforms to "axon,cpu" at interpreter
+# start, so the env var above does NOT stick — the explicit config update is
+# the only reliable CPU forcing (same reason as tests/conftest.py).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -96,6 +96,13 @@ def _cfg(out, logsub, datasets, **over):
     return EvflyConfig(**kw)
 
 
+def _lr_over(args):
+    """--lr override (round-4 finding: lr 1e-4 leaves the velocity head at
+    the constant-output floor for the whole compute budget; see
+    tools/overfit_probe.py / RESULTS.md round 4)."""
+    return {"lr": args.lr} if getattr(args, "lr", None) else {}
+
+
 def _train(cfg):
     from evfly_tpu.ops.imageops import set_precision
     from evfly_tpu.train.learner import Learner
@@ -124,6 +131,7 @@ def cmd_pretrain_v(args):
         N_eps=args.epochs,
         save_model_freq=max(args.epochs // 2, 1),
         val_freq=1,
+        **_lr_over(args),
         **over,
     )
     return _train(cfg)
@@ -159,6 +167,7 @@ def cmd_pretrain_d(args):
         N_eps=args.epochs,
         save_model_freq=max(args.epochs // 2, 1),
         val_freq=1,
+        **_lr_over(args),
     )
     return _train(cfg)
 
@@ -180,6 +189,7 @@ def _joint_cfg(args, **over):
         save_model_freq=max(args.epochs // 2, 1),
         val_freq=1,
     )
+    kw.update(_lr_over(args))
     kw.update(over)
     return _cfg(OUT, args.logsub, datasets, **kw)
 
@@ -326,6 +336,7 @@ def main():
         p.add_argument("--epochs", type=int, default=10)
         p.add_argument("--init", type=str, default=None,
                        help="warm-start checkpoint (copied to an ep000000 name)")
+        p.add_argument("--lr", type=float, default=None)
     for name in ("joint", "scratch"):
         p = sub.add_parser(name)
         p.add_argument("--epochs", type=int, default=20)
@@ -334,6 +345,7 @@ def main():
         p.add_argument("--resume", type=str, default=None)
         p.add_argument("--d-ckpt", type=str, default=None)
         p.add_argument("--v-ckpt", type=str, default=None)
+        p.add_argument("--lr", type=float, default=None)
     p = sub.add_parser("eval")
     p.add_argument("--ckpt", type=str, required=True)
     p.add_argument("--trials", type=int, default=20)
