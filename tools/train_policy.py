@@ -123,6 +123,10 @@ def cmd_pretrain_v(args):
     cfg = _cfg(
         OUT, "pretrain_v", DATASETS,
         model_type=["VITFLY_ViTLSTM"],
+        # grouped epoch scan (see cmd_pretrain_d): ~5x fewer dispatches; the
+        # per-trajectory path cost ~2.5 min/epoch at 16k frames (r4 MV run)
+        epoch_scan=True,
+        scan_group=16,
         num_in_channels=1,           # depth input
         num_out_channels=1,
         input_frame_scale=2.0,       # composite hand-off distribution
