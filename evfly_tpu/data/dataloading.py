@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import dataclasses
 import glob
+import json
 import os
 import random
 import re
@@ -70,6 +71,122 @@ def _resize_bilinear_np(frames: np.ndarray, size: Tuple[int, int]) -> np.ndarray
 
     out = interpolate_bilinear(jnp.asarray(frames, jnp.float32), size, align_corners=False)
     return np.asarray(out)
+
+
+class ConcatFrames:
+    """Lazy row-wise concatenation of frame arrays (mmap-friendly).
+
+    ``np.concatenate`` over the per-dataset mmap'd cache arrays materializes
+    the whole multi-dataset mix as anonymous host RAM (the round-4e
+    joint_dagger2 OOM: ~60 GB of f32 frames on a 125 GB box before training
+    even started).  This wrapper keeps the parts (typically ``np.load(...,
+    mmap_mode='r')`` views) and serves reads on demand: integer / slice /
+    fancy-index ``__getitem__`` returns exactly what the concatenated array
+    would, while untouched rows never leave the page cache.
+
+    Only the ndarray surface the Learner actually uses is implemented
+    (shape/dtype/size/nbytes/ndim/len, row-first indexing, block iteration
+    for device staging).  ``np.asarray(cf)`` still materializes — callers
+    that need the whole thing must opt in explicitly.
+    """
+
+    def __init__(self, parts: Sequence[np.ndarray]):
+        assert parts, "ConcatFrames needs at least one part"
+        tail = parts[0].shape[1:]
+        for p in parts:
+            assert p.shape[1:] == tail and p.dtype == parts[0].dtype
+        self.parts = list(parts)
+        lens = np.array([p.shape[0] for p in parts], np.int64)
+        self._offsets = np.concatenate([[0], np.cumsum(lens)])
+
+    @property
+    def shape(self):
+        return (int(self._offsets[-1]),) + tuple(self.parts[0].shape[1:])
+
+    @property
+    def dtype(self):
+        return self.parts[0].dtype
+
+    @property
+    def ndim(self):
+        return self.parts[0].ndim
+
+    @property
+    def size(self):
+        return int(np.prod(self.shape, dtype=np.int64))
+
+    @property
+    def nbytes(self):
+        return self.size * self.dtype.itemsize
+
+    def __len__(self):
+        return self.shape[0]
+
+    def _gather(self, idx: np.ndarray) -> np.ndarray:
+        idx = np.asarray(idx)
+        n = self.shape[0]
+        idx = np.where(idx < 0, idx + n, idx)
+        if idx.size and (idx.min() < 0 or idx.max() >= n):
+            raise IndexError(f"index out of range for length {n}")
+        part_ids = np.searchsorted(self._offsets, idx, side="right") - 1
+        local = idx - self._offsets[part_ids]
+        out = np.empty(idx.shape + self.shape[1:], self.dtype)
+        for pi in np.unique(part_ids):
+            m = part_ids == pi
+            out[m] = self.parts[pi][local[m]]
+        return out
+
+    def __getitem__(self, key):
+        rest = ()
+        if isinstance(key, tuple):
+            key, rest = key[0], key[1:]
+        if isinstance(key, (int, np.integer)):
+            n = self.shape[0]
+            i = int(key) + (n if key < 0 else 0)
+            if not 0 <= i < n:
+                raise IndexError(f"index {key} out of range for length {n}")
+            pi = int(np.searchsorted(self._offsets, i, side="right") - 1)
+            row = self.parts[pi][i - self._offsets[pi]]
+            return row[rest] if rest else row
+        if isinstance(key, slice):
+            key = np.arange(*key.indices(self.shape[0]))
+        out = self._gather(key)
+        return out[(slice(None),) + rest] if rest else out
+
+    def __array__(self, dtype=None, copy=None):
+        out = np.concatenate(self.parts)
+        return out.astype(dtype) if dtype is not None else out
+
+    def iter_blocks(self, block_rows: int = 512):
+        """Yield (global_start, contiguous ndarray) covering all rows in order."""
+        off = 0
+        for p in self.parts:
+            for i in range(0, p.shape[0], block_rows):
+                b = p[i : i + block_rows]
+                yield off + i, np.asarray(b)
+            off += p.shape[0]
+
+
+def concat_frames(parts: Sequence[np.ndarray], lazy_bytes: int = 2 << 30):
+    """Concatenate frame arrays; lazily (ConcatFrames) above ``lazy_bytes``.
+
+    Small inputs keep exact ndarray semantics (np.concatenate); large ones —
+    the multi-dataset training mixes — stay as mmap-backed parts.  Override
+    the threshold with EVFLY_LAZY_CONCAT_BYTES (0 forces lazy always).
+    """
+    env = os.environ.get("EVFLY_LAZY_CONCAT_BYTES")
+    if env is not None:
+        lazy_bytes = int(env)
+    total = sum(p.shape[0] for p in parts) * int(
+        np.prod(parts[0].shape[1:], dtype=np.int64)
+    ) * parts[0].dtype.itemsize
+    if len(parts) == 1:
+        # np.concatenate of ONE part still copies (materializing an mmap);
+        # pass the original through instead
+        return parts[0]
+    if total > lazy_bytes:
+        return ConcatFrames(parts)
+    return np.concatenate(parts)
 
 
 @dataclass
@@ -344,7 +461,23 @@ def dataloader(
 
     # ---- preprocessed-tensor cache probe ----
     _src = data_dir + ("_tf" if (do_transform and "_tf" not in data_dir) else "") + ".h5"
-    _st = os.stat(_src) if (os.path.exists(_src) and use_h5) else None
+    _st = None
+    if use_h5:
+        if os.path.exists(_src):
+            s = os.stat(_src)
+            _st = (s.st_mtime_ns, s.st_size)
+            # stamp the source identity so the (large) h5 can be deleted
+            # once its preprocessed caches exist — disk is the scarce
+            # resource on this host; cache keys keep hitting via the stamp
+            try:
+                with open(_src + ".stat.json", "w") as fh:
+                    json.dump({"mtime_ns": _st[0], "size": _st[1]}, fh)
+            except OSError:
+                pass
+        elif os.path.exists(_src + ".stat.json"):
+            with open(_src + ".stat.json") as fh:
+                stamp = json.load(fh)
+            _st = (int(stamp["mtime_ns"]), int(stamp["size"]))
     cache_dir = None
     if _st is not None:
         tvd_key = (
@@ -356,7 +489,7 @@ def dataloader(
         cache_dir = _cache_dir_for(
             data_dir,
             dict(
-                v=_CACHE_VERSION, src=_src, mtime=_st.st_mtime_ns, size=_st.st_size,
+                v=_CACHE_VERSION, src=_src, mtime=_st[0], size=_st[1],
                 val_split=val_split, short=short, seed=seed, tvd=tvd_key,
                 do_transform=do_transform, events=events,
                 keep_collisions=keep_collisions, resize_input=resize_input,
@@ -383,8 +516,15 @@ def dataloader(
         logger(f"[DATALOADER] Found {h5_filename}, loading dataset")
         f = h5py.File(h5_filename, "r")
     elif not os.path.isdir(data_dir):
+        hint = (
+            " (a .stat.json stamp exists: the source h5 was deleted after caching,"
+            " but this call's args missed every cache entry — regenerate the h5"
+            " or rerun with the original preprocessing args)"
+            if os.path.exists(h5_filename + ".stat.json")
+            else ""
+        )
         raise FileNotFoundError(
-            f"dataset not found: neither {h5_filename} nor a trajectory folder at {data_dir}"
+            f"dataset not found: neither {h5_filename} nor a trajectory folder at {data_dir}{hint}"
         )
 
     dataset_name = os.path.basename(data_dir)

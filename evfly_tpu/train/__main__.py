@@ -10,6 +10,13 @@ from .learner import Learner
 def main():
     args = argparsing()
     print(args)
+    if args.device == "cpu":
+        # honor `device = cpu` before the first backend use — env vars can't
+        # (the axon sitecustomize rewrites jax_platforms at interpreter
+        # start; only a config update sticks, see tests/conftest.py)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     learner = Learner(args)
     try:
         learner.train_loop()

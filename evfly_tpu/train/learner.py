@@ -274,10 +274,16 @@ class Learner:
             )
 
         def concat(splits: List[TrajectorySplit]) -> TrajectorySplit:
+            # ims/depths stay lazy over the per-dataset mmaps above the
+            # concat_frames threshold: materializing a multi-dataset mix as
+            # anonymous f32 host RAM is what OOM-killed round-4e's
+            # joint_dagger2 (~60 GB before the first epoch)
+            from ..data.dataloading import concat_frames
+
             return TrajectorySplit(
                 meta=np.concatenate([s.meta for s in splits]),
-                ims=np.concatenate([s.ims for s in splits]),
-                depths=np.concatenate([s.depths for s in splits]),
+                ims=concat_frames([s.ims for s in splits]),
+                depths=concat_frames([s.depths for s in splits]),
                 trajlength=np.concatenate([s.trajlength for s in splits]),
                 desvel=np.concatenate([s.desvel for s in splits]),
                 evs=(
@@ -397,41 +403,61 @@ class Learner:
         if nbytes > self.DEVICE_DATA_MAX_BYTES:
             self._device_data[mode] = (B, None)
             return None
-        pad_f = np.zeros((B, H, W), np.float32)
-        data = {
-            "depths": np.concatenate([split.depths, pad_f]),
-            "desvel": np.concatenate([split.desvel, np.ones(B, np.float32)]),
-            "velcmd": np.concatenate([split.velcmd, np.zeros((B, 3), np.float32)]),
-        }
+        # Build the staged host arrays BLOCKWISE, directly in the residency
+        # dtype (int8/uint8 quantized or bf16) — never the full split as
+        # f32.  The f32 np.concatenate staging intermediates (2x split
+        # size + quantize temps) are what, on top of the materialized
+        # concat, OOM-killed round-4e's joint_dagger2; sources here are
+        # typically mmap'd cache arrays (ndarray or ConcatFrames).
+        # Quantization semantics unchanged: error <= 1/254 per value (evs
+        # percentile-rescaled to [-1,1], depths to [0,1] by the dataloader);
+        # the batch slicer dequantizes on device (stepfn.py:136-141).
+        if self.cfg.device_data_quantized:
+            d_dtype, e_dtype = np.uint8, np.int8
+            d_tf = lambda b: np.clip(np.round(b * 255.0), 0, 255).astype(np.uint8)
+            e_tf = lambda b: np.clip(np.round(b * 127.0), -127, 127).astype(np.int8)
+        else:
+            import ml_dtypes  # numpy bf16 (jax dependency)
+
+            d_dtype = e_dtype = ml_dtypes.bfloat16
+            d_tf = e_tf = lambda b: b.astype(ml_dtypes.bfloat16)
+
+        def _blocks(arr, rows=512):
+            if hasattr(arr, "iter_blocks"):  # ConcatFrames
+                yield from arr.iter_blocks(rows)
+            else:
+                for i in range(0, arr.shape[0], rows):
+                    yield i, np.asarray(arr[i : i + rows])
+
+        N = split.depths.shape[0]
+        depths_h = np.zeros((N + B, H, W), d_dtype)  # B pad rows stay zero
+        for off, blk in _blocks(split.depths):
+            depths_h[off : off + blk.shape[0]] = d_tf(blk)
         if split.evs is not None:
             ev_lens = np.array([ev.shape[0] for ev in split.evs])
             ev_offsets = np.cumsum(ev_lens) - ev_lens
-            data["evs"] = np.concatenate(list(split.evs) + [pad_f])
+            n_ev_total = int(ev_lens.sum()) if len(ev_lens) else 0
+            evs_h = np.zeros((n_ev_total + B, H, W), e_dtype)
+            for ev, off0 in zip(split.evs, ev_offsets):
+                for off, blk in _blocks(ev):
+                    evs_h[off0 + off : off0 + off + blk.shape[0]] = e_tf(blk)
         else:
             ev_offsets = np.zeros(len(split.trajlength), np.int64)
-            data["evs"] = pad_f  # placeholder, unused
-        if self.cfg.device_data_quantized:
-            # int8/uint8 residency: 4-8x less HBM + host->device transfer on
-            # the ~14 MB/s tunnel; the batch slicer dequantizes on device.
-            # Quantization error <= 1/254 per value (evs are percentile-
-            # rescaled to [-1,1], depths to [0,1] by the dataloader).
-            dev = {
-                "depths": jnp.asarray(
-                    np.clip(np.round(data["depths"] * 255.0), 0, 255).astype(np.uint8)
+            evs_h = np.zeros((B, H, W), e_dtype)  # placeholder, unused
+        dev = {
+            "depths": jnp.asarray(depths_h),
+            "evs": jnp.asarray(evs_h),
+            "desvel": jnp.asarray(
+                np.concatenate([split.desvel, np.ones(B, np.float32)]), jnp.float32
+            ),
+            "velcmd": jnp.asarray(
+                np.concatenate(
+                    [np.asarray(split.velcmd, np.float32), np.zeros((B, 3), np.float32)]
                 ),
-                "evs": jnp.asarray(
-                    np.clip(np.round(data["evs"] * 127.0), -127, 127).astype(np.int8)
-                ),
-                "desvel": jnp.asarray(data["desvel"], jnp.float32),
-                "velcmd": jnp.asarray(data["velcmd"], jnp.float32),
-            }
-        else:
-            # frames live on device in bf16 (halves HBM; the batch slicer
-            # casts chunks back to f32); scalars stay f32
-            dev = {
-                k: jnp.asarray(v, jnp.bfloat16 if k in ("depths", "evs") else jnp.float32)
-                for k, v in data.items()
-            }
+                jnp.float32,
+            ),
+        }
+        del depths_h, evs_h  # free the host staging copies promptly
         out = (dev, ev_offsets)
         self._device_data[mode] = (B, out)
         return out

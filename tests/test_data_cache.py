@@ -86,3 +86,23 @@ def test_cache_opt_out(h5_path, monkeypatch):
     dataloader(h5_path, logger=logs.append, **KW)
     dataloader(h5_path, logger=logs.append, **KW)
     assert not any("Cache" in m for m in logs)
+
+
+def test_cache_hits_after_source_h5_deleted(h5_path):
+    """Disk is the scarce resource: once the preprocessed cache exists the
+    multi-GB source h5 can be deleted; a .stat.json stamp written at probe
+    time preserves the cache key (same mtime/size -> same hash)."""
+    logs = []
+    tr1, va1, _ = dataloader(h5_path, logger=logs.append, **KW)
+    assert os.path.exists(h5_path + ".h5.stat.json")
+
+    os.remove(h5_path + ".h5")
+    logs2 = []
+    tr2, va2, _ = dataloader(h5_path, logger=logs2.append, **KW)
+    assert any("Cache hit" in m for m in logs2), logs2
+    _assert_split_equal(tr1, tr2)
+    _assert_split_equal(va1, va2)
+
+    # different args after deletion -> no cache entry, clear error
+    with pytest.raises(FileNotFoundError, match="stat.json stamp exists"):
+        dataloader(h5_path, logger=logs2.append, **dict(KW, evs_min_cutoff=0.5))
