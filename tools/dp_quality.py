@@ -71,6 +71,51 @@ def subset_h5(src: str, dst: str, n_traj: int, n_frames: int) -> str:
     return dst
 
 
+def subset_from_cache(src_h5: str, dst: str, n_traj: int, n_frames: int) -> str:
+    """Rebuild the subset from the dataset's preprocessed cache when the
+    source h5 has been deleted to reclaim disk (tools/stamp_and_rm_h5.py).
+
+    The cached tensors are already resized/rescaled; re-running the loader
+    on them is deterministic and IDENTICAL for both arms, which is all this
+    sequential-vs-DP A/B needs."""
+    from evfly_tpu.data.dataloading import write_h5_dataset
+
+    croot = src_h5[:-3] + "_cache"
+    entry = None
+    for d in sorted(os.listdir(croot)):
+        p = os.path.join(croot, d)
+        if os.path.isfile(os.path.join(p, "train_meta.npy")):
+            entry = p
+            break
+    assert entry, f"no preprocessed cache entries under {croot}"
+
+    def load(name, mmap=True):
+        return np.load(os.path.join(entry, name), mmap_mode="r" if mmap else None)
+
+    meta, ims, depths = load("train_meta.npy"), load("train_ims.npy"), load("train_depths.npy")
+    desvel, tlen = load("train_desvel.npy"), load("train_trajlength.npy", mmap=False)
+    ev_lens = load("train_ev_lens.npy", mmap=False)
+    evs = load("train_evs.npy")
+    starts = np.cumsum(tlen) - tlen
+    ev_starts = np.cumsum(ev_lens) - ev_lens
+    trajs = []
+    for i in range(min(n_traj, len(tlen))):
+        T = int(min(n_frames, tlen[i]))
+        s, es = int(starts[i]), int(ev_starts[i])
+        trajs.append(
+            {
+                "name": f"traj_{i:03d}",
+                "data": np.asarray(meta[s : s + T]),
+                "ims": np.asarray(ims[s : s + T]),
+                "depths": np.asarray(depths[s : s + T]),
+                "desvel": np.asarray(desvel[s : s + T]),
+                "evs": np.asarray(evs[es : es + T - 1]),
+            }
+        )
+    write_h5_dataset(dst + ".h5", trajs)
+    return dst
+
+
 def run_arm(tmp, data_path, dp_devices, epochs, tag):
     from evfly_tpu.configs import EvflyConfig
     from evfly_tpu.ops.imageops import set_precision
@@ -119,7 +164,9 @@ def run_arm(tmp, data_path, dp_devices, epochs, tag):
         orig(msg)
         if "ep_loss = " in msg:
             ep_losses.append(float(msg.split("ep_loss = ")[1].split(",")[0]))
-        if "val_loss = " in msg:
+        # only the "[VAL] Validated epoch ..." line carries the epoch val
+        # loss ("New lowest val_loss = X at ep N/M" would mis-parse)
+        if msg.startswith("[VAL] Validated"):
             val_losses.append(float(msg.split("val_loss = ")[1].split(",")[0]))
 
     learner.mylogger = capture
@@ -141,7 +188,8 @@ def main():
 
     assert jax.device_count() >= 8, "needs the virtual 8-CPU mesh"
     os.makedirs(args.tmp, exist_ok=True)
-    data_path = subset_h5(
+    build = subset_h5 if os.path.exists(args.src) else subset_from_cache
+    data_path = build(
         args.src, os.path.join(args.tmp, "dpq_subset"), args.trajs, args.frames
     )
 
