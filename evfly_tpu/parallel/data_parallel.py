@@ -156,20 +156,12 @@ def make_dp_chunked_train_step(
     )
 
 
-def dp_train_demo_step(n_devices: int, input_hw=(188, 196), batch: int = 8):
-    """Build + run ONE data-parallel joint-model train step on tiny shapes.
-
-    Used by the multi-chip dry run: constructs the full flagship training
-    step (OrigUNet with ConvLSTM bottleneck + ViTLSTM second stage, Adam,
-    weighted two-term loss) on an ``n_devices`` DP mesh and executes a
-    single step.  input_hw must satisfy the UNet's 5-level valid-conv
-    minimum (needs a >=4 px bottleneck: ~188 px per side).
-    """
-    import numpy as np
-    import jax.numpy as jnp
-
+def _flagship_model(input_hw):
+    """The flagship joint composite (OrigUNet with ConvLSTM bottleneck +
+    ViTLSTM second stage) at ``input_hw`` — shared by the dry-run demo
+    steps.  input_hw must satisfy the UNet's 5-level valid-conv minimum
+    (needs a >=4 px bottleneck: ~188 px per side)."""
     from ..models.composites import OrigUNet_w_VITFLY_ViTLSTM
-    from .mesh import make_mesh, replicate_params, shard_batch
 
     enc_params = {
         "num_layers": 2, "kernel_sizes": [5, 3], "kernel_strides": [2, 2],
@@ -182,12 +174,110 @@ def dp_train_demo_step(n_devices: int, input_hw=(188, 196), batch: int = 8):
         "activations": ["leaky_relu", "leaky_relu", "leaky_relu", "tanh"],
         "dropout_p": 0.1,
     }
-    model = OrigUNet_w_VITFLY_ViTLSTM(
+    return OrigUNet_w_VITFLY_ViTLSTM(
         num_in_channels=2, num_out_channels=1, num_recurrent=[1, 0],
         enc_params=enc_params, fc_params=fc_params,
         input_shape=[1, 1, input_hw[0], input_hw[1]],
         velpred=0, form_BEV=2, evs_min_cutoff=0.0, skip_type="interp",
     )
+
+
+def dp_chunked_demo_step(
+    n_devices: int,
+    input_hw=(188, 196),
+    B: int = 4,
+    G: int = 8,
+    chunks_per_device: int = 1,
+):
+    """Build + run ONE step of the PRODUCTION training path — chunk-level DP
+    (make_dp_chunked_train_step, exactly what Learner._dp_train_epoch jits)
+    — on an ``n_devices`` mesh with synthetic int8/uint8 device-resident
+    data at tiny shapes.
+
+    This is the multi-chip dry run's core: the flagship joint model, the
+    quantized device-residency layout (train_policy.py trains with
+    device_data_quantized=True), the on-device chunk gather, the padded-
+    chunk guard (one chunk has n_valid=0, one is partial), and the
+    XLA-inserted gradient psum over the 'data' axis.  G work items are fixed
+    independently of the mesh so an ``n_devices`` run and a 1-device run
+    (chunks_per_device=G) execute the identical optimizer step — callers
+    assert their results match.
+
+    Returns (loss_sum, values, gradnorm, n_real) as floats.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    from .mesh import make_mesh
+
+    assert G % max(n_devices * chunks_per_device, 1) == 0
+    model = _flagship_model(input_hw)
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = optax.masked(optax.adam(1e-4), {k: is_trainable_key(k) for k in params})
+    opt_state = optimizer.init(params)
+
+    mesh = make_mesh(n_devices)
+    repl = NamedSharding(mesh, P())
+    params = jax.device_put(params, repl)
+    opt_state = jax.device_put(opt_state, repl)
+
+    H, W = input_hw
+    rng = np.random.default_rng(0)
+    n_frames, n_ev = 16, 14
+    data = {
+        # the Learner's quantized staging layout: B trailing pad rows,
+        # uint8 depths in [0,1]/255 steps, int8 events in [-1,1]/127 steps
+        "depths": jnp.asarray(rng.integers(0, 256, (n_frames + B, H, W)), jnp.uint8),
+        "evs": jnp.asarray(rng.integers(-127, 128, (n_ev + B, H, W)), jnp.int8),
+        "desvel": jnp.asarray(np.full(n_frames + B, 4.0), jnp.float32),
+        "velcmd": jnp.asarray(rng.standard_normal((n_frames + B, 3)), jnp.float32),
+    }
+    data = jax.device_put(data, repl)
+
+    step = make_dp_chunked_train_step(
+        model, "joint_vitlstm", optimizer, mesh, B,
+        num_in_channels=2, num_out_channels=1,
+        loss_weights=[10.0, 1.0], optional_loss_param=[5.0, -1.0],
+    )
+    shard0 = NamedSharding(mesh, P("data"))
+    starts = (rng.integers(0, n_frames - B, G)).astype(np.int32)
+    ev_starts = (rng.integers(0, n_ev - B, G)).astype(np.int32)
+    n_valids = np.full(G, B, np.int32)
+    n_valids[G // 2] = max(B - 2, 1)   # partial chunk
+    n_valids[G - 1] = 0                # padded chunk (guard must zero it)
+    idxs = {
+        "start": jax.device_put(jnp.asarray(starts), shard0),
+        "ev_start": jax.device_put(jnp.asarray(ev_starts), shard0),
+        "n_valid": jax.device_put(jnp.asarray(n_valids), shard0),
+    }
+    rngs = jax.device_put(jax.random.split(jax.random.PRNGKey(1), G), shard0)
+
+    params, opt_state, loss_sum, values_sum, gradnorm, n_real = step(
+        params, opt_state, data, idxs, rngs
+    )
+    jax.block_until_ready(loss_sum)
+    return (
+        float(loss_sum),
+        [float(v) for v in values_sum],
+        float(gradnorm),
+        float(n_real),
+    )
+
+
+def dp_train_demo_step(n_devices: int, input_hw=(188, 196), batch: int = 8):
+    """Build + run ONE data-parallel joint-model train step on tiny shapes.
+
+    Frame-level DP demo: the full flagship training step (Adam, weighted
+    two-term loss) on an ``n_devices`` DP mesh, one step.  The multi-chip
+    dry run uses dp_chunked_demo_step (the production chunk-DP path); this
+    stays as the minimal frame-DP example and test surface.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    from .mesh import make_mesh, replicate_params, shard_batch
+
+    model = _flagship_model(input_hw)
     params = model.init(jax.random.PRNGKey(0))
     optimizer = optax.masked(optax.adam(1e-4), {k: is_trainable_key(k) for k in params})
     opt_state = optimizer.init(params)
