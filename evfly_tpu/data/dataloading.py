@@ -122,19 +122,41 @@ class ConcatFrames:
     def __len__(self):
         return self.shape[0]
 
-    def _gather(self, idx: np.ndarray) -> np.ndarray:
+    def _gather(self, idx: np.ndarray, rest: tuple = ()) -> np.ndarray:
         idx = np.asarray(idx)
         n = self.shape[0]
+        if idx.dtype == bool:
+            # ndarray semantics: a boolean mask selects rows; treating it as
+            # integer indices would silently return rows 0/1 (advisor r4)
+            if idx.shape != (n,):
+                raise IndexError(
+                    f"boolean row mask has shape {idx.shape}, expected ({n},)"
+                )
+            idx = np.nonzero(idx)[0]
         idx = np.where(idx < 0, idx + n, idx)
         if idx.size and (idx.min() < 0 or idx.max() >= n):
             raise IndexError(f"index out of range for length {n}")
-        part_ids = np.searchsorted(self._offsets, idx, side="right") - 1
-        local = idx - self._offsets[part_ids]
-        out = np.empty(idx.shape + self.shape[1:], self.dtype)
-        for pi in np.unique(part_ids):
+        # Trailing int/slice indices are applied PER PART, so a read like
+        # cf[:, 0] materializes only the (rows, rest-indexed) result — never
+        # the full concatenated rows (the host-RAM OOM this class prevents;
+        # advisor r4).  Array-valued `rest` falls back to gather-then-index
+        # (numpy advanced-indexing broadcast semantics are not worth
+        # replicating here).
+        per_part = rest and all(
+            isinstance(r, (int, np.integer, slice)) for r in rest
+        )
+        deferred = () if per_part else rest
+        tail = (
+            self.parts[0][:1][(slice(None),) + rest].shape[1:]
+            if per_part
+            else self.shape[1:]
+        )
+        out = np.empty(idx.shape + tail, self.dtype)
+        for pi in np.unique(part_ids := np.searchsorted(self._offsets, idx, side="right") - 1):
             m = part_ids == pi
-            out[m] = self.parts[pi][local[m]]
-        return out
+            rows = self.parts[pi][idx[m] - self._offsets[pi]]
+            out[m] = rows[(slice(None),) + rest] if per_part else rows
+        return out[(slice(None),) + deferred] if deferred else out
 
     def __getitem__(self, key):
         rest = ()
@@ -150,8 +172,7 @@ class ConcatFrames:
             return row[rest] if rest else row
         if isinstance(key, slice):
             key = np.arange(*key.indices(self.shape[0]))
-        out = self._gather(key)
-        return out[(slice(None),) + rest] if rest else out
+        return self._gather(key, rest)
 
     def __array__(self, dtype=None, copy=None):
         out = np.concatenate(self.parts)
@@ -272,7 +293,11 @@ def _read_data_csv(path: str, is_png: bool) -> np.ndarray:
 
     Falls back to per-line parsing that silently drops rows with the wrong
     column count — interrupted rollouts can truncate a row mid-write
-    (reference dataloading.py:207-226).
+    (reference dataloading.py:207-226).  png datasets keep the reference's
+    exact rule (21 columns); for legacy non-png folders — where the
+    reference raises NotImplementedError (dataloading.py:221-222) — the
+    expected column count is taken from the header row instead, so every
+    folder dataset recovers from truncated rows.
     """
     try:
         meta = np.genfromtxt(path, delimiter=",", dtype=np.float64)[1:]
@@ -280,14 +305,17 @@ def _read_data_csv(path: str, is_png: bool) -> np.ndarray:
             raise ValueError("ragged rows produce NaN cells")
         return meta
     except Exception:
-        if not is_png:
-            raise NotImplementedError("malformed data.csv recovery is png-dataset only")
-        rows = []
         with open(path) as fh:
-            for line in fh.readlines()[1:]:
-                cells = line.strip().split(",")
-                if len(cells) == 21:
+            lines = fh.readlines()
+        want = 21 if is_png else len(lines[0].strip().split(","))
+        rows = []
+        for line in lines[1:]:
+            cells = line.strip().split(",")
+            if len(cells) == want:
+                try:
                     rows.append([float(x) for x in cells])
+                except ValueError:
+                    continue  # right arity but a truncated/garbled cell
         return np.array(rows, dtype=np.float64)
 
 
@@ -376,11 +404,19 @@ def _cache_dir_for(data_dir: str, key_parts) -> Optional[str]:
     return os.path.abspath(data_dir.rstrip("/")) + f"_cache/{h}"
 
 
-def _cache_save(cdir: str, train: "TrajectorySplit", val: "TrajectorySplit", is_png: bool):
+def _cache_save(cdir: str, train: "TrajectorySplit", val: "TrajectorySplit",
+                is_png: bool, key_parts=None):
     import json as _json
 
     tmp = cdir + ".tmp"
     os.makedirs(tmp, exist_ok=True)
+    if key_parts is not None:
+        # record the source-h5 identity (and full arg key) this entry was
+        # built from, so tools/stamp_and_rm_h5.py can refuse to delete an
+        # h5 whose caches are stale (advisor r4: regenerated h5 + old cache
+        # = irrecoverable dataset loss)
+        with open(opj(tmp, "cache_key.json"), "w") as fh:
+            _json.dump(key_parts, fh, sort_keys=True, default=str)
     meta = {"version": _CACHE_VERSION, "is_png": bool(is_png)}
     for tag, split in (("train", train), ("val", val)):
         np.save(opj(tmp, f"{tag}_meta.npy"), split.meta)
@@ -479,6 +515,7 @@ def dataloader(
                 stamp = json.load(fh)
             _st = (int(stamp["mtime_ns"]), int(stamp["size"]))
     cache_dir = None
+    cache_key = None
     if _st is not None:
         tvd_key = (
             None
@@ -486,17 +523,15 @@ def dataloader(
             else [list(map(str, part)) for part in train_val_dirs[:2]]
             + [list(map(int, part)) for part in train_val_dirs[2:]]
         )
-        cache_dir = _cache_dir_for(
-            data_dir,
-            dict(
-                v=_CACHE_VERSION, src=_src, mtime=_st[0], size=_st[1],
-                val_split=val_split, short=short, seed=seed, tvd=tvd_key,
-                do_transform=do_transform, events=events,
-                keep_collisions=keep_collisions, resize_input=resize_input,
-                split_method=split_method, rescale_depth=rescale_depth,
-                rescale_evs=rescale_evs, evs_min_cutoff=evs_min_cutoff,
-            ),
+        cache_key = dict(
+            v=_CACHE_VERSION, src=_src, mtime=_st[0], size=_st[1],
+            val_split=val_split, short=short, seed=seed, tvd=tvd_key,
+            do_transform=do_transform, events=events,
+            keep_collisions=keep_collisions, resize_input=resize_input,
+            split_method=split_method, rescale_depth=rescale_depth,
+            rescale_evs=rescale_evs, evs_min_cutoff=evs_min_cutoff,
         )
+        cache_dir = _cache_dir_for(data_dir, cache_key)
     if cache_dir is not None and os.path.isdir(cache_dir):
         try:
             hit = _cache_load(cache_dir, load_evs="frames" in events)
@@ -736,6 +771,6 @@ def dataloader(
     out = make_split(tr_tr), make_split(va_tr), is_png or found_h5
     if cache_dir is not None:
         t0 = time.time()
-        _cache_save(cache_dir, out[0], out[1], out[2])
+        _cache_save(cache_dir, out[0], out[1], out[2], key_parts=cache_key)
         logger(f"[DATALOADER] Cached preprocessed tensors to {cache_dir} ({time.time()-t0:.0f}s)")
     return out

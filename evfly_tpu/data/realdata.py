@@ -41,6 +41,31 @@ def sync_depth_events(
     return out
 
 
+def fix_corrupted_depth(depth_image: np.ndarray, neighbors: int = 5) -> np.ndarray:
+    """Fill zero-valued (corrupted) depth pixels with the mean of nonzero
+    neighbors in a (2*neighbors+1)^2 window — D435 dropout hole-filling.
+
+    Reference-exact semantics (run_competition.py:931-953): pixels are
+    processed IN PLACE in row-major order, so a filled hole participates in
+    later holes' neighborhoods; a hole whose entire window is zero becomes
+    NaN (np.mean of an empty slice), as in the reference.  Returns the same
+    array, mutated.
+    """
+    rows, cols = np.nonzero(depth_image == 0.0)
+    if len(rows) == 0:
+        return depth_image
+    Hh, Ww = depth_image.shape
+    for row, col in zip(rows.tolist(), cols.tolist()):
+        win = depth_image[
+            max(0, row - neighbors) : min(Hh, row + neighbors + 1),
+            max(0, col - neighbors) : min(Ww, col + neighbors + 1),
+        ]
+        vals = win[win != 0.0]
+        with np.errstate(invalid="ignore"):
+            depth_image[row, col] = np.mean(vals) if vals.size else np.nan
+    return depth_image
+
+
 def package_real_sequence(
     name: str,
     event_t: np.ndarray,
@@ -54,6 +79,7 @@ def package_real_sequence(
     sensor_hw: Optional[Tuple[int, int]] = None,
     pos_thresh: float = 0.2,
     neg_thresh: float = 0.2,
+    fix_depth_holes: bool = True,
 ) -> Dict:
     """Build one h5-schema trajectory dict from a real recording.
 
@@ -101,6 +127,10 @@ def package_real_sequence(
     )
 
     depths = depth_frames[[0] + idxs]  # leading frame + one per window
+    if fix_depth_holes:
+        # D435 zero-dropout holes (run_competition.py:1020 applies the same
+        # fill to every live depth frame before the policy sees it)
+        depths = np.stack([fix_corrupted_depth(d.copy()) for d in depths])
     if aligner is not None:
         depths = np.stack([aligner.align(depth=d)["depth"] for d in depths])
         evs = np.stack([aligner.align(davis=e)["davis"] for e in evs])

@@ -165,7 +165,9 @@ def visualize_images(learner, checkpoint_path, load_ckpt: bool = False, dataSets
             pred_arrow = _arrow(pred_rgb.copy(), pred_vel[i][1], pred_vel[i][2])
             frame[h:, :w] = pred_arrow
             gt_im = (np.stack([np.clip(gt[1][i].squeeze(), 0, 1)] * 3, -1) * 255).astype(np.uint8)
-            dv = float(desvel[min(i, len(desvel) - 1)])
+            # desvel rows can be (1,) arrays; float() on ndim>0 is a NumPy
+            # deprecation headed for a hard error — flatten first
+            dv = float(np.asarray(desvel[min(i, len(desvel) - 1)]).reshape(()))
             gt_arrow = _arrow(gt_im, gt[0][i][1] / dv, gt[0][i][2] / dv)
             frame[h:, w:] = gt_arrow
             frames.append(frame)

@@ -106,3 +106,38 @@ def test_cache_hits_after_source_h5_deleted(h5_path):
     # different args after deletion -> no cache entry, clear error
     with pytest.raises(FileNotFoundError, match="stat.json stamp exists"):
         dataloader(h5_path, logger=logs2.append, **dict(KW, evs_min_cutoff=0.5))
+
+
+def test_stamp_tool_refuses_stale_cache(h5_path):
+    """tools/stamp_and_rm_h5.py must not delete an h5 whose cache entries
+    were built from an OLDER generation of the file (advisor r4: the stale
+    caches never hit again, losing the dataset)."""
+    import importlib.util
+    import time as _time
+
+    spec = importlib.util.spec_from_file_location(
+        "stamp_and_rm_h5",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "stamp_and_rm_h5.py"),
+    )
+    stamp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(stamp)
+
+    logs = []
+    dataloader(h5_path, logger=logs.append, **KW)
+    # current h5 matches its cache entry: delete allowed
+    assert stamp.stamp_and_rm(h5_path)
+    assert not os.path.exists(h5_path + ".h5")
+
+    # regenerate the h5 (new identity), caches now stale: refuse
+    from tests.test_data import _make_traj
+
+    rng2 = np.random.default_rng(99)
+    trajs = [_make_traj(rng2, f"traj_{i:03d}", T=15 + i) for i in range(6)]
+    write_h5_dataset(h5_path + ".h5", trajs)
+    now = _time.time() + 5
+    os.utime(h5_path + ".h5", (now, now))  # force a distinct mtime_ns
+    assert not stamp.stamp_and_rm(h5_path)
+    assert os.path.exists(h5_path + ".h5")  # still there
+    # --force overrides (operator accepts responsibility)
+    assert stamp.stamp_and_rm(h5_path, force=True)
+    assert not os.path.exists(h5_path + ".h5")

@@ -54,6 +54,52 @@ def test_concat_frames_indexing_oracle(parts, rng):
     np.testing.assert_array_equal(np.asarray(cf), ref)
 
 
+def test_concat_frames_bool_mask(parts, rng):
+    """Boolean masks select rows like ndarray (advisor r4: they were being
+    treated as integer indices 0/1)."""
+    cf = ConcatFrames(parts)
+    ref = np.concatenate(parts)
+    mask = rng.random(len(ref)) < 0.4
+    np.testing.assert_array_equal(cf[mask], ref[mask])
+    np.testing.assert_array_equal(cf[mask, 2:4], ref[mask, 2:4])
+    np.testing.assert_array_equal(cf[np.zeros(len(ref), bool)], ref[np.zeros(len(ref), bool)])
+    with pytest.raises(IndexError):
+        cf[np.ones(len(ref) + 1, bool)]
+
+
+def test_concat_frames_rest_applied_per_part(parts):
+    """cf[:, 0] must materialize only the rest-indexed result, never the
+    full row gather (advisor r4: the full-mix f32 OOM reintroduced)."""
+    cf = ConcatFrames(parts)
+    ref = np.concatenate(parts)
+    np.testing.assert_array_equal(cf[:, 0], ref[:, 0])
+    np.testing.assert_array_equal(cf[:, 1:3, 2], ref[:, 1:3, 2])
+    np.testing.assert_array_equal(cf[2:15, -1], ref[2:15, -1])
+
+    # the per-part path must not allocate rows x full-tail: patch np.empty
+    # to fail on any full-tail allocation during a rest-indexed full gather
+    import evfly_tpu.data.dataloading as dl
+
+    real_empty = np.empty
+    full_tail = ref.shape[1:]
+
+    def guarded(shape, *a, **k):
+        assert tuple(shape[1:]) != full_tail or shape[0] < len(ref), (
+            "rest-indexed gather materialized the full concatenated rows"
+        )
+        return real_empty(shape, *a, **k)
+
+    dl.np.empty = guarded
+    try:
+        np.testing.assert_array_equal(cf[:, 0], ref[:, 0])
+    finally:
+        dl.np.empty = real_empty
+
+    # array-valued rest falls back to gather-then-index but stays correct
+    sub = np.array([0, 2])
+    np.testing.assert_array_equal(cf[1:7, sub], ref[1:7, sub])
+
+
 def test_concat_frames_iter_blocks(parts):
     cf = ConcatFrames(parts)
     ref = np.concatenate(parts)

