@@ -207,15 +207,28 @@ def main():
             step = out = None
 
     # 50 iters put the single ~30 ms tunnel sync at ~10% of the measured
-    # wall; 200 amortizes it to ~2.5% (still < 2 s of device time)
+    # wall; 200 amortizes it to ~2.5% (still < 2 s of device time).
+    # >=5 repetitions with min/median/max on stderr: the tunnel has a ~2%
+    # run-to-run band, and without spread every cross-round delta needs a
+    # judgment call (VERDICT r4 weak #4).  Headline value = median rep.
     n_iters = int(os.environ.get("BENCH_ITERS", "200"))
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = step(params, ex, ey, ep, desvel)
-    _ = jax.device_get(out)
-    dt = time.perf_counter() - t0
+    n_reps = max(1, int(os.environ.get("BENCH_REPS", "5")))
+    reps = []
+    for _ in range(n_reps):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = step(params, ex, ey, ep, desvel)
+        _ = jax.device_get(out)
+        reps.append(N_WINDOWS * n_iters / (time.perf_counter() - t0))
 
-    windows_per_sec = N_WINDOWS * n_iters / dt
+    windows_per_sec = float(np.median(reps))
+    spread = (max(reps) - min(reps)) / windows_per_sec
+    print(
+        f"bench reps (windows/s): min={min(reps):.0f} "
+        f"median={windows_per_sec:.0f} max={max(reps):.0f} "
+        f"spread={spread * 100:.1f}% over {n_reps} reps x {n_iters} iters",
+        file=sys.stderr,
+    )
 
     if os.environ.get("BENCH_BREAKDOWN", "0") != "0":
         # stage split (stderr only; stdout stays the one graded JSON line).
