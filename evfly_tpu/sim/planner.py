@@ -142,6 +142,76 @@ class Planner:
             path.append(next_point)
         return path
 
+    def find_path_bfs(self, start, end):
+        """Breadth-first search over the occupancy grid — the graph
+        traversal the reference's header comment promises
+        (path_planning.py:1-3) but its ``find_path`` never implements.
+
+        The greedy +x walk above cannot back out of a cul-de-sac: once the
+        ±y sidestep scan is walled off it returns -1 (or worse, feeds the
+        spline a path that dead-ends against the pocket).  Since planner
+        rollouts are a training-data source here (unlike the reference,
+        where the planner is vestigial), the expert uses this complete
+        search (VERDICT r4 next #7).
+
+        Same contract as ``find_path``: success = reaching any cell with
+        x >= end's x (the reference's "consider any x >= end[0] a success",
+        path_planning.py:141); returns a list of (3,) map positions or -1.
+        6-connected; BFS on the uniform grid = fewest-cells path.  The raw
+        cell chain is decimated to direction-change knots so the spline
+        stays well-conditioned.
+        """
+        from collections import deque
+
+        if self.query_map(start) == 1:
+            return -1
+        xs, ys, zs = self.grid_axes()
+        start_idx = self.idx_map(start)
+        goal_x = self.idx_map(end)[0]
+        nx, ny, nz = self.map.shape
+        blocked = self.map != 0
+
+        parent = {start_idx: None}
+        q = deque([start_idx])
+        hit = None
+        while q:
+            cur = q.popleft()
+            if cur[0] >= goal_x:
+                hit = cur
+                break
+            ci, cj, ck = cur
+            for di, dj, dk in ((1, 0, 0), (-1, 0, 0), (0, 1, 0),
+                               (0, -1, 0), (0, 0, 1), (0, 0, -1)):
+                nb = (ci + di, cj + dj, ck + dk)
+                if (0 <= nb[0] < nx and 0 <= nb[1] < ny and 0 <= nb[2] < nz
+                        and nb not in parent and not blocked[nb]):
+                    parent[nb] = cur
+                    q.append(nb)
+        if hit is None:
+            return -1
+
+        cells = []
+        cur = hit
+        while cur is not None:
+            cells.append(cur)
+            cur = parent[cur]
+        cells.reverse()
+
+        def pos(c):
+            return np.array([xs[c[0]], ys[c[1]], zs[c[2]]])
+
+        # keep endpoints + direction changes (collinear runs add no shape
+        # information and crowd the spline knots)
+        path = [pos(cells[0])]
+        for a, b, c in zip(cells, cells[1:], cells[2:]):
+            d1 = np.subtract(b, a)
+            d2 = np.subtract(c, b)
+            if not np.array_equal(d1, d2):
+                path.append(pos(b))
+        if len(cells) > 1:
+            path.append(pos(cells[-1]))
+        return path
+
     # -- spline ------------------------------------------------------------
 
     def fit_spline(self, points, velocity: float = 1.0):
@@ -159,8 +229,13 @@ class Planner:
         splines = [CubicSpline(timesteps, points[:, i], bc_type=bcs[i]) for i in range(3)]
         return splines, timesteps
 
-    def calculate_path_and_spline(self, start, end, velocity: float = 1.0):
-        path = self.find_path(start, end)
+    def calculate_path_and_spline(self, start, end, velocity: float = 1.0,
+                                  search: str = "greedy"):
+        """search: "greedy" = the reference walk (parity default);
+        "bfs" = complete grid search (the expert's choice — its rollouts
+        feed training, so cul-de-sac dead-ends matter here)."""
+        find = self.find_path_bfs if search == "bfs" else self.find_path
+        path = find(start, end)
         if path == -1 or path is None or len(path) < 2:
             path = [np.asarray(start, float), np.asarray(end, float)]
         self.path = path
@@ -175,18 +250,22 @@ class PlannerExpert:
 
     def __init__(self, field: ObstacleField, desired_vel: float,
                  start=(0.0, 0.0, 2.0), target_x: float = 60.0,
-                 pos_gain: float = 0.8, obst_inflation_factor: float = 1.0):
+                 pos_gain: float = 0.8, obst_inflation_factor: float = 1.0,
+                 search: str = "bfs"):
         self.desired_vel = float(desired_vel)
         self.pos_gain = float(pos_gain)
         # the vestigial reference default (0.3) leaves less clearance than
         # quad radius + spline-tracking lag; the flown expert inflates by the
-        # waypoint expert's 1.0 m (user_code.py:83 obst_inflate_factor)
+        # waypoint expert's 1.0 m (user_code.py:83 obst_inflate_factor).
+        # search defaults to the complete BFS (find_path_bfs): expert
+        # rollouts feed training, and the greedy walk's teleporting sidestep
+        # can thread knot segments through walls (tests/test_planner.py).
         planner = Planner(obst_inflation_factor=obst_inflation_factor)
         planner.fill_from_field(field)
         start = np.asarray(start, float)
         end = np.array([target_x, 0.0, start[2]])
         self.splines, self.ts = planner.calculate_path_and_spline(
-            start, end, velocity=self.desired_vel
+            start, end, velocity=self.desired_vel, search=search
         )
         self.t_end = float(self.ts[-1])
         self.t0: Optional[float] = None

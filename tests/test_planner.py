@@ -90,3 +90,81 @@ def test_planner_expert_flies_through_forest():
     summary = ev.summary()
     assert summary.get("time_to_finish") is not None, summary
     assert summary["number_crashes"] == 0, summary
+
+
+def _cul_de_sac_walls():
+    """A U-shaped pocket opening toward -x at y=0: the greedy walk enters
+    along y=0, hits the back wall, and its ±y sidestep scan is capped by
+    the side walls — unrecoverable without real search."""
+    walls = []
+    # back wall at x=20 spanning y in [-6, 6]
+    walls.append((20.0, 0.0, 2.0, (1.0, 6.0, 20.0)))
+    # side walls at y=+-6 running x in [12, 20]
+    walls.append((16.0, 6.0, 2.0, (4.0, 1.0, 20.0)))
+    walls.append((16.0, -6.0, 2.0, (4.0, 1.0, 20.0)))
+    return walls
+
+
+def _densely_free(planner, path, samples=20):
+    """The flown trajectory follows the knot chain, so collision-freedom
+    must hold along SEGMENTS, not just at knots."""
+    path = np.asarray(path, float)
+    for a, b in zip(path, path[1:]):
+        for t in np.linspace(0.0, 1.0, samples):
+            if planner.query_map(a + t * (b - a)) == 1:
+                return False
+    return True
+
+
+def test_bfs_escapes_cul_de_sac_greedy_cannot():
+    """VERDICT r4 next #7 acceptance: a layout where the greedy +x walk
+    fails but BFS routes around the pocket.
+
+    The greedy walk's ±y sidestep scan skips over occupied cells
+    (reference path_planning.py:171-177 — the while loop continues until
+    a FREE cell, however far), so inside the pocket it teleports across
+    the side wall: the knot path looks free but its segment cuts straight
+    through the wall, crashing the flown spline."""
+    start, end = np.array([0, 0, 2.0]), np.array([60, 0, 2.0])
+
+    pg = Planner()
+    pg.fill_map(_cul_de_sac_walls())
+    greedy = pg.find_path(start, end)
+    greedy_ok = greedy != -1 and _densely_free(pg, greedy)
+    assert not greedy_ok
+
+    pb = Planner()
+    pb.fill_map(_cul_de_sac_walls())
+    path = pb.find_path_bfs(start, end)
+    assert path != -1
+    path = np.asarray(path)
+    assert path[-1][0] >= 60.0
+    assert _densely_free(pb, path)
+    # adjacent knots stay 6-connected segments (axis-aligned moves only),
+    # so linear interpolation between knots cannot cut a corner diagonally
+    for a, b in zip(path, path[1:]):
+        assert np.count_nonzero(np.abs(b - a) > 1e-9) == 1
+
+
+def test_bfs_matches_contract_on_open_field():
+    """On a field the greedy walk handles, BFS also succeeds and both obey
+    the same success contract (reach x >= end_x, collision-free)."""
+    p = Planner()
+    p.fill_map([(10.0, 0.0, 2.0, (2.0, 2.0, 2.0))])
+    path = p.find_path_bfs(np.array([0, 0, 2.0]), np.array([60, 0, 2.0]))
+    assert path != -1
+    path = np.asarray(path)
+    assert path[-1][0] >= 60.0
+    for pt in path:
+        assert p.query_map(pt) == 0
+    # start in collision -> -1, like find_path
+    assert p.find_path_bfs(np.array([10, 0, 2.0]), np.array([60, 0, 2.0])) == -1
+
+
+def test_bfs_feeds_spline():
+    p = Planner()
+    p.fill_map(_cul_de_sac_walls())
+    path = p.find_path_bfs(np.array([0, 0, 2.0]), np.array([60, 0, 2.0]))
+    splines, ts = p.fit_spline(path, velocity=4.0)
+    assert abs(splines[0](ts[0], 1) - 0.0) < 1e-8
+    assert abs(splines[0](ts[-1], 1) - 4.0) < 1e-8
