@@ -80,3 +80,39 @@ def test_hil_safety_box_latches():
     # velocity error (v_err_max.x=0.5 -> ~2 m/s^2): a few meters of
     # physical overshoot, far short of the ~20 m an unlatched run covers
     assert res.pos[-1, 0] < 8.0
+
+
+def test_hil_pilot_full_flight():
+    """Pilot-flown episode (VERDICT r4 next #5): arm -> min-snap takeoff ->
+    policy run as velocity references -> min-jerk landing -> off, with the
+    reference pilot's mode transitions visible in the result."""
+    from evfly_tpu.sim.pilot import (
+        MODE_HOVER, MODE_OFF, MODE_TRAJECTORY, MODE_VELOCITY,
+    )
+
+    pipe = ScriptedPipeline(vel=(2.0, 0.0, 0.0))
+    res = run_hil_episode(
+        pipe, _sensor, duration=4.0, des_fwd_vel=2.0,
+        start_pos=(0.0, 0.0, 0.0), use_pilot=True,
+    )
+    assert not res.guard_stopped
+    assert res.phases.keys() == {"takeoff", "run", "land"}
+    t_take, t_run, t_land = (res.phases[k] for k in ("takeoff", "run", "land"))
+    assert t_take[0] < t_take[1] <= t_run[0] < t_run[1] <= t_land[1]
+
+    modes = [m_to for _, _, m_to in res.transitions]
+    # takeoff traj -> hover -> velocity -> (refused land) hover -> land traj -> off
+    assert modes == [
+        MODE_TRAJECTORY, MODE_HOVER, MODE_VELOCITY,
+        MODE_HOVER, MODE_TRAJECTORY, MODE_OFF,
+    ]
+
+    fine_t, fine_z = res.fine[:, 0], res.fine[:, 3]
+    # takeoff ended at ~takeoff_height (1.0); during the run the
+    # DeploymentRunner's own altitude guard pulls toward its 2 m setpoint;
+    # landing returns to ground
+    z_at_hover = fine_z[np.searchsorted(fine_t, t_take[1]) - 1]
+    assert z_at_hover == pytest.approx(1.0, abs=0.3)
+    assert fine_z[-1] == pytest.approx(0.0, abs=0.2)
+    # flew forward during the run phase
+    assert res.pos[-1, 0] > 2.0

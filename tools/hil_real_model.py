@@ -110,6 +110,9 @@ def main():
     ap.add_argument("--seed", type=int, default=77)
     ap.add_argument("--obstacles", type=int, default=30)
     ap.add_argument("--out-json", default=None)
+    ap.add_argument("--pilot", action="store_true",
+                    help="fly the full pilot episode: arm -> takeoff -> "
+                         "run -> land (sim/pilot.py state machine)")
     args = ap.parse_args()
 
     from evfly_tpu.models import port
@@ -140,8 +143,16 @@ def main():
 
     res = run_hil_episode(
         pipe, sensor, duration=args.duration, des_fwd_vel=args.desvel,
-        start_pos=(0.0, 0.0, 2.0),
+        start_pos=(0.0, 0.0, 0.0) if args.pilot else (0.0, 0.0, 2.0),
+        use_pilot=args.pilot,
     )
+
+    # pilot episodes: altitude-hold is only meaningful in the run phase
+    # (takeoff/landing legs intentionally change altitude)
+    fine = res.fine
+    if args.pilot:
+        t0, t1 = res.phases["run"]
+        fine = fine[(fine[:, 0] >= t0) & (fine[:, 0] <= t1)]
 
     # minimum horizontal clearance to any tree along the 100 Hz trajectory
     fine_xy = res.fine[:, 1:3]                      # (N, 2) x,y
@@ -158,7 +169,7 @@ def main():
         "final_x_m": float(res.pos[-1, 0]),
         "mean_fwd_vel_mps": float(np.mean(res.vel[:, 0])),
         "alt_rms_about_setpoint_m": float(
-            np.sqrt(np.mean((res.fine[:, 3] - 2.0) ** 2))
+            np.sqrt(np.mean((fine[:, 3] - 2.0) ** 2))
         ),
         "min_obstacle_clearance_m": min_clear,
         "collided": bool(min_clear < 0.0),
@@ -168,6 +179,13 @@ def main():
         "tick_latency_ms_p95": float(np.percentile(lat, 95) * 1e3),
         "compile_tick_ms": float(pipe.lat[0] * 1e3),
     }
+    if args.pilot:
+        report["pilot_transitions"] = [
+            [float(t), m_from, m_to] for t, m_from, m_to in res.transitions
+        ]
+        report["pilot_phases"] = {
+            k: [float(a), float(b)] for k, (a, b) in res.phases.items()
+        }
     print(json.dumps(report, indent=2))
     if args.out_json:
         with open(args.out_json, "w") as f:
