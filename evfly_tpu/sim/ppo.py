@@ -24,6 +24,35 @@ import optax
 from .vision_env import OBS_DIM, EnvParams, EnvState, get_obs, reset, step
 
 
+class EnvSpec(NamedTuple):
+    """Pluggable environment surface for the jitted PPO loop.
+
+    reset(key) -> state; step(state, action) -> (state, obs, reward, done);
+    get_obs(state) -> obs.  Actions arrive tanh-squashed in
+    [-act_scale, act_scale]^act_dim.  The default spec is VisionEnv
+    (velocity actions); quadrotor_env.ppo_spec adapts the legacy
+    state-based env (normalized thrust/bodyrate actions, act_scale=1).
+    """
+
+    reset: object
+    step: object
+    get_obs: object
+    obs_dim: int
+    act_dim: int
+    act_scale: float
+
+
+def vision_env_spec(env_params: EnvParams, max_speed: float = 5.0) -> EnvSpec:
+    return EnvSpec(
+        reset=functools.partial(reset, env_params),
+        step=functools.partial(step, env_params),
+        get_obs=functools.partial(get_obs, env_params),
+        obs_dim=OBS_DIM,
+        act_dim=3,
+        act_scale=max_speed,
+    )
+
+
 def _mlp_init(key, sizes):
     params = {}
     keys = jax.random.split(key, len(sizes) - 1)
@@ -48,11 +77,11 @@ class ActorCritic(NamedTuple):
     log_std: jnp.ndarray
 
 
-def init_actor_critic(key, hidden=(128, 128), act_dim=3) -> ActorCritic:
+def init_actor_critic(key, hidden=(128, 128), act_dim=3, obs_dim=OBS_DIM) -> ActorCritic:
     k1, k2 = jax.random.split(key)
     return ActorCritic(
-        actor=_mlp_init(k1, (OBS_DIM, *hidden, act_dim)),
-        critic=_mlp_init(k2, (OBS_DIM, *hidden, 1)),
+        actor=_mlp_init(k1, (obs_dim, *hidden, act_dim)),
+        critic=_mlp_init(k2, (obs_dim, *hidden, 1)),
         log_std=jnp.full((act_dim,), -0.5),
     )
 
@@ -97,33 +126,35 @@ class PPOConfig(NamedTuple):
     max_speed: float = 5.0
 
 
-def make_ppo_iteration(env_params: EnvParams, cfg: PPOConfig, optimizer):
+def make_ppo_iteration(env_params: EnvParams, cfg: PPOConfig, optimizer,
+                       spec: EnvSpec = None):
     """Returns jitted iteration(ac, opt_state, env_states, key) ->
     (ac, opt_state, env_states, metrics)."""
+    spec = spec or vision_env_spec(env_params, cfg.max_speed)
 
     def collect(ac, env_states, key):
         def rollout_step(carry, k):
             states, obs = carry
             k_act, k_reset = jax.random.split(k)
             actions, raw, logp, value = policy_sample(
-                ac, obs, k_act, cfg.max_speed
+                ac, obs, k_act, spec.act_scale
             )
-            new_states, new_obs, rewards, dones = jax.vmap(
-                functools.partial(step, env_params)
-            )(states, actions)
+            new_states, new_obs, rewards, dones = jax.vmap(spec.step)(
+                states, actions
+            )
             # auto-reset finished envs
-            reset_states = jax.vmap(functools.partial(reset, env_params))(
+            reset_states = jax.vmap(spec.reset)(
                 jax.random.split(k_reset, cfg.num_envs)
             )
             def pick(a, b):
                 d = dones.reshape((-1,) + (1,) * (a.ndim - 1))
                 return jnp.where(d, a, b)
             states_out = jax.tree_util.tree_map(pick, reset_states, new_states)
-            obs_out = jax.vmap(functools.partial(get_obs, env_params))(states_out)
+            obs_out = jax.vmap(spec.get_obs)(states_out)
             transition = (obs, raw, logp, value, rewards, dones)
             return (states_out, obs_out), transition
 
-        obs0 = jax.vmap(functools.partial(get_obs, env_params))(env_states)
+        obs0 = jax.vmap(spec.get_obs)(env_states)
         (env_states, last_obs), traj = jax.lax.scan(
             rollout_step, (env_states, obs0), jax.random.split(key, cfg.rollout_len)
         )
@@ -194,17 +225,19 @@ def make_ppo_iteration(env_params: EnvParams, cfg: PPOConfig, optimizer):
     return iteration
 
 
-def train_ppo(env_params: EnvParams, cfg: PPOConfig = PPOConfig(), n_iters: int = 50, seed: int = 0):
+def train_ppo(env_params: EnvParams, cfg: PPOConfig = PPOConfig(), n_iters: int = 50, seed: int = 0,
+              spec: EnvSpec = None):
     """Run PPO; returns (actor_critic, list of per-iter metrics)."""
     key = jax.random.PRNGKey(seed)
     k_init, k_env, key = jax.random.split(key, 3)
-    ac = init_actor_critic(k_init)
+    spec = spec or vision_env_spec(env_params, cfg.max_speed)
+    ac = init_actor_critic(k_init, act_dim=spec.act_dim, obs_dim=spec.obs_dim)
     optimizer = optax.adam(cfg.lr)
     opt_state = optimizer.init(ac)
-    env_states = jax.vmap(functools.partial(reset, env_params))(
+    env_states = jax.vmap(spec.reset)(
         jax.random.split(k_env, cfg.num_envs)
     )
-    iteration = make_ppo_iteration(env_params, cfg, optimizer)
+    iteration = make_ppo_iteration(env_params, cfg, optimizer, spec)
     history = []
     for it in range(n_iters):
         key, k = jax.random.split(key)

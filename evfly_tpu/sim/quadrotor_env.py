@@ -194,6 +194,29 @@ def step(params: QuadEnvParams, state: QuadEnvState, action: jnp.ndarray):
     return new_state, get_obs(params, new_state), reward5, done, final_rew
 
 
+def ppo_spec(params: QuadEnvParams = None):
+    """EnvSpec adapter for sim.ppo.train_ppo: normalized [-1,1]^4 actions
+    (act_scale=1 -> the tanh squash IS the reference's normalization),
+    scalar reward = total shaped reward + terminal bonus, like the
+    flightrl vec wrapper's summed reward channel."""
+    from .ppo import EnvSpec
+
+    params = params or default_params()
+
+    def step_scalar(state, action):
+        new_state, obs, r5, done, fin = step(params, state, action)
+        return new_state, obs, r5[4] + fin, done
+
+    return EnvSpec(
+        reset=functools.partial(reset, params),
+        step=step_scalar,
+        get_obs=functools.partial(get_obs, params),
+        obs_dim=15,
+        act_dim=4,
+        act_scale=1.0,
+    )
+
+
 class VecQuadrotorEnv:
     """Batched QuadrotorEnv: one jitted vmapped step for all envs — the
     TPU replacement for the OpenMP vec env (vec_env_base.cpp:124)."""

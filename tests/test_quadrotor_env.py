@@ -125,3 +125,41 @@ def test_vec_env_batched():
     assert obs.shape == (32, 15) and r5.shape == (32, 5)
     assert done.shape == (32,) and fin.shape == (32,)
     assert np.isfinite(np.asarray(obs)).all()
+
+
+@pytest.mark.slow
+def test_ppo_improves_quadrotor_stabilization():
+    """The generalized PPO loop (sim/ppo.py EnvSpec) learns on the legacy
+    state env — the flightrl stabilization task, end to end as one jitted
+    program.
+
+    The REFERENCE reset distribution (full random attitude,
+    quadrotor_env.cpp:102-108) poses a tumble-recovery problem that needs
+    millions of env steps; a CI-budget test instead swaps in a near-hover
+    reset through the same EnvSpec seam (upright, small offsets — the
+    env's step/reward/terminals stay reference-exact) where learning is
+    fast and seed-robust: probed seeds 0/3/7 all improve, seed 0 cuts
+    |reward| 5x and ground hits 3x in 60 iters."""
+    from evfly_tpu.sim.ppo import EnvSpec, PPOConfig, train_ppo
+    from evfly_tpu.sim.quadrotor_env import ppo_spec
+
+    spec0 = ppo_spec(default_params())
+
+    def near_hover_reset(key):
+        s = spec0.reset(key)
+        return s._replace(
+            q=jnp.array([1.0, 0.0, 0.0, 0.0]),
+            v=0.2 * s.v,
+            p=jnp.array([0.3, 0.3, 1.0]) * s.p,
+        )
+
+    spec = spec0._replace(reset=near_hover_reset)
+    cfg = PPOConfig(num_envs=64, rollout_len=64, lr=1e-3, epochs_per_iter=10)
+    _ac, hist = train_ppo(None, cfg, n_iters=60, seed=0, spec=spec)
+    r = [float(h["reward_mean"]) for h in hist]
+    early, late = np.mean(r[:10]), np.mean(r[-10:])
+    # measured: early=-0.0233 late=-0.0045; require >=40% improvement
+    assert late > 0.6 * early, (early, late)
+    # crashing less: ground-hit/done fraction drops (measured 0.0142->0.0043)
+    d = [float(h["done_frac"]) for h in hist]
+    assert np.mean(d[-10:]) < np.mean(d[:10]), (d[:10], d[-10:])
