@@ -140,6 +140,7 @@ def run_trials_batched(
     log_images: bool = True,
     obstacle_pad: int = 0,
     fetch_every: int = 32,
+    dynamics: str = "first_order",       # 'first_order' | 'rigid' (full stack)
 ) -> List[Dict]:
     """Run G trials in lockstep; returns a run_trial-style dict per trial.
 
@@ -163,7 +164,17 @@ def run_trials_batched(
             PlannerExpert(f, desired_vels[g]) for g, f in enumerate(fields)
         ]
 
-    quads = BatchedQuads(G)
+    if dynamics == "rigid":
+        # full flight stack (velocity reference -> SE(3) controller ->
+        # allocation + motor lag -> RK4 rigid body), vectorized over G —
+        # closed_loop.run_trial(dynamics="rigid") at batch scale.  The
+        # camera stays velocity-frame-aligned (position only), matching
+        # the single-trial path.
+        from .rigid_body import VecRigidBodyQuads
+
+        quads = VecRigidBodyQuads(G)
+    else:
+        quads = BatchedQuads(G)
     evals = [TrialEvaluator() for _ in range(G)]
     active = np.ones(G, bool)
     rows: List[List[List[float]]] = [[] for _ in range(G)]

@@ -28,12 +28,14 @@ Pure numpy: the host sim loop must not round-trip the TPU tunnel per step.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import Optional
 
 import numpy as np
 
 from .dynamics import QuadState
 
 G = 9.8066
+G_ACCEL = G  # alias for scopes where a local G (batch size) shadows gravity
 GVEC = np.array([0.0, 0.0, -G])
 
 
@@ -223,6 +225,183 @@ def geo_command(p, v, q, w, p_ref, v_ref, params: QuadrotorParams,
 # ---------------------------------------------------------------------------
 # the full stack, VelocityTrackingQuad-compatible
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# batched (G quads) versions — same math broadcast over the trial axis
+# ---------------------------------------------------------------------------
+
+
+def quat_mul_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(G,4) x (G,4) -> (G,4), wxyz."""
+    w1, x1, y1, z1 = a[:, 0], a[:, 1], a[:, 2], a[:, 3]
+    w2, x2, y2, z2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    return np.stack(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ],
+        axis=1,
+    )
+
+
+def quat_rotate_batch(q: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Rotate (G,3) vectors by (G,4) unit quaternions."""
+    u, w = q[:, 1:], q[:, 0:1]
+    return v + 2.0 * np.cross(u, np.cross(u, v) + w * v)
+
+
+def rotmat_to_quat_batch(R: np.ndarray) -> np.ndarray:
+    """(G,3,3) -> (G,4) wxyz.  Vectorized 4-case selection (same cases as
+    the scalar ``rotmat_to_quat``); every candidate's sqrt argument is
+    clamped so unselected branches never produce NaN."""
+    G = R.shape[0]
+    t = R[:, 0, 0] + R[:, 1, 1] + R[:, 2, 2]
+    cands = np.zeros((4, G, 4))
+    # trace case
+    s = 0.5 / np.sqrt(np.maximum(t + 1.0, 1e-12))
+    cands[0] = np.stack(
+        [
+            0.25 / s,
+            (R[:, 2, 1] - R[:, 1, 2]) * s,
+            (R[:, 0, 2] - R[:, 2, 0]) * s,
+            (R[:, 1, 0] - R[:, 0, 1]) * s,
+        ],
+        axis=1,
+    )
+    for i in range(3):
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = 2.0 * np.sqrt(np.maximum(1.0 + R[:, i, i] - R[:, j, j] - R[:, k, k], 1e-12))
+        q = np.zeros((G, 4))
+        q[:, 0] = (R[:, k, j] - R[:, j, k]) / s
+        q[:, 1 + i] = 0.25 * s
+        q[:, 1 + j] = (R[:, j, i] + R[:, i, j]) / s
+        q[:, 1 + k] = (R[:, k, i] + R[:, i, k]) / s
+        q = np.where(q[:, 0:1] < 0, -q, q)
+        cands[1 + i] = q
+    sel = np.where(t > 0, 0, 1 + np.argmax(np.stack([R[:, 0, 0], R[:, 1, 1], R[:, 2, 2]], 1), axis=1))
+    q = cands[sel, np.arange(G)]
+    return q / np.linalg.norm(q, axis=1, keepdims=True)
+
+
+class VecRigidBodyQuads:
+    """G independent ``RigidBodyQuad`` stacks advanced in lockstep — the
+    ``BatchedQuads`` interface (set_commands/step) for ``run_trials_batched``,
+    so protocol evaluation can run under the FULL flight stack (velocity
+    reference → SE(3) controller → allocation + motor lag → RK4 rigid body)
+    instead of the first-order velocity-tracking quad.  Same per-quad math
+    as the scalar class (tests assert trajectory equality); constant
+    matrices (allocation, J) are pre-inverted once."""
+
+    def __init__(self, G: int, cmd_timeout: float = 0.5, start_pos=(0.0, 0.0, 2.0),
+                 params: QuadrotorParams = None, gains: GeoControllerParams = None):
+        self.G = G
+        self.params = params or QuadrotorParams()
+        self.gains = gains or GeoControllerParams()
+        self.cmd_timeout = cmd_timeout
+        pr = self.params
+        self._B = pr.allocation                     # (4,4) thrusts -> wrench
+        self._Binv = np.linalg.inv(self._B)
+        self._Jdiag = np.diag(pr.J)                 # J is diagonal
+        self.t = 0.0
+        self.pos = np.tile(np.asarray(start_pos, float), (G, 1))
+        self.vel = np.zeros((G, 3))
+        self.q = np.tile([1.0, 0.0, 0.0, 0.0], (G, 1))
+        self.w = np.zeros((G, 3))
+        self.thrusts = np.full((G, 4), pr.mass * G_ACCEL / 4.0)
+        self._cmd = np.zeros((G, 3))
+        self._cmd_time = np.full(G, -np.inf)
+        self._p_ref = self.pos.copy()
+
+    def set_commands(self, cmds: np.ndarray, mask: Optional[np.ndarray] = None):
+        if mask is None:
+            self._cmd = np.asarray(cmds, float)
+            self._cmd_time[:] = self.t
+        else:
+            self._cmd[mask] = np.asarray(cmds, float)[mask]
+            self._cmd_time[mask] = self.t
+
+    def _dstate(self, p, v, q, w, thrusts):
+        wrench = thrusts @ self._B.T                # (G,4)
+        f_total, tau = wrench[:, 0], wrench[:, 1:]
+        acc_body = np.zeros_like(v)
+        acc_body[:, 2] = f_total / self.params.mass
+        dv = quat_rotate_batch(q, acc_body) + GVEC
+        dq = 0.5 * quat_mul_batch(q, np.concatenate([np.zeros((len(w), 1)), w], axis=1))
+        Jw = self._Jdiag * w
+        dw = (tau - np.cross(w, Jw)) / self._Jdiag
+        return v, dv, dq, dw
+
+    def _rk4(self, p, v, q, w, thrusts, dt):
+        s0 = (p, v, q, w)
+        k1 = self._dstate(*s0, thrusts)
+        s1 = tuple(a + 0.5 * dt * b for a, b in zip(s0, k1))
+        k2 = self._dstate(*s1, thrusts)
+        s2 = tuple(a + 0.5 * dt * b for a, b in zip(s0, k2))
+        k3 = self._dstate(*s2, thrusts)
+        s3 = tuple(a + dt * b for a, b in zip(s0, k3))
+        k4 = self._dstate(*s3, thrusts)
+        p, v, q, w = (
+            a + dt / 6.0 * (b1 + 2 * b2 + 2 * b3 + b4)
+            for a, b1, b2, b3, b4 in zip(s0, k1, k2, k3, k4)
+        )
+        q = q / np.linalg.norm(q, axis=1, keepdims=True)
+        return p, v, q, w
+
+    def _geo(self, p_ref, v_ref):
+        pr, gains = self.params, self.gains
+        pos_err = np.clip(p_ref - self.pos, -gains.p_err_max, gains.p_err_max)
+        vel_err = np.clip(v_ref - self.vel, -gains.v_err_max, gains.v_err_max)
+        acc_cmd = gains.kp_acc * pos_err + gains.kd_acc * vel_err - GVEC
+        acc_norm = np.linalg.norm(acc_cmd, axis=1)
+        thrust_cmd = acc_norm * pr.mass
+
+        z_B = acc_cmd / np.maximum(acc_norm, 1e-9)[:, None]
+        y_c = np.broadcast_to([0.0, 1.0, 0.0], z_B.shape)
+        x_B = np.cross(y_c, z_B)
+        x_B = x_B / np.maximum(np.linalg.norm(x_B, axis=1, keepdims=True), 1e-9)
+        y_B = np.cross(z_B, x_B)
+        R = np.stack([x_B, y_B, z_B], axis=2)      # columns
+        q_des = rotmat_to_quat_batch(R)
+
+        qe = quat_mul_batch(
+            np.concatenate([self.q[:, 0:1], -self.q[:, 1:]], axis=1), q_des
+        )
+        w_, x_, y_, z_ = qe[:, 0], qe[:, 1], qe[:, 2], qe[:, 3]
+        tmp = np.stack(
+            [w_ * x_ - y_ * z_, w_ * y_ + x_ * z_, np.where(w_ > 0, z_, -z_)], axis=1
+        )
+        kp = np.array([gains.kp_att_xy, gains.kp_att_xy, gains.kp_att_z])
+        omega_cmd = (
+            2.0 / np.sqrt(np.maximum(w_ * w_ + z_ * z_, 1e-9))[:, None] * (kp * tmp)
+        )
+        omega_cmd = np.clip(omega_cmd, -pr.omega_max, pr.omega_max)
+        alpha = gains.kp_rate * (omega_cmd - self.w)
+        torque = self._Jdiag * alpha + np.cross(self.w, self._Jdiag * self.w)
+        return thrust_cmd, torque
+
+    def step(self, dt: float):
+        pr = self.params
+        stale = self.t - self._cmd_time > self.cmd_timeout
+        v_cmd = np.where(stale[:, None], 0.0, self._cmd)
+        self._p_ref = self._p_ref + v_cmd * dt
+        err = self._p_ref - self.pos
+        err_lim = np.array([1.5, 1.5, 1.0])
+        self._p_ref = self.pos + np.clip(err, -err_lim, err_lim)
+
+        thrust_cmd, torque = self._geo(self._p_ref, v_cmd)
+        wrench = np.concatenate([thrust_cmd[:, None], torque], axis=1)
+        mot_des = np.clip(wrench @ self._Binv.T, 0.0, pr.thrust_max)
+        alpha_m = 1.0 - np.exp(-dt / pr.motor_tau)
+        self.thrusts = self.thrusts + alpha_m * (mot_des - self.thrusts)
+
+        self.pos, self.vel, self.q, self.w = self._rk4(
+            self.pos, self.vel, self.q, self.w, self.thrusts, dt
+        )
+        self.t += dt
+        return self.pos, self.vel, self.t
 
 
 class RigidBodyQuad:

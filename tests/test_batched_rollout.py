@@ -108,3 +108,24 @@ def test_batched_pipeline_matches_sequential():
                 singles[g].reset()
             sv, _sd = singles[g].step_frame(jnp.asarray(frames[t, g]))
             np.testing.assert_allclose(np.asarray(bv[g]), np.asarray(sv), atol=1e-5)
+
+
+def test_batched_rigid_expert_trial():
+    """Batched rollouts under the FULL flight stack (dynamics='rigid'):
+    the expert completes a small course crash-free, as in the single-trial
+    rigid test (test_rigid_body.test_rigid_trial_through_forest)."""
+    import numpy as np
+
+    from evfly_tpu.sim import generate_forest
+    from evfly_tpu.sim.batched import run_trials_batched
+
+    rng = np.random.default_rng(4)
+    fields = [generate_forest(rng, num_obstacles=15, trees=True) for _ in range(2)]
+    results = run_trials_batched(
+        fields, mode="state", desired_vels=4.0, policy_every=6,
+        command_every=3, max_steps=4000, H=40, W=52, seed=0,
+        log_images=False, dynamics="rigid",
+    )
+    for r in results:
+        assert r["summary"].get("time_to_finish") is not None, r["summary"]
+        assert r["summary"]["number_crashes"] == 0, r["summary"]

@@ -245,7 +245,8 @@ def _build_pipeline(ckpt, num_streams, desvels):
     return BatchedStreamingPipeline(model, params, num_streams=num_streams, desvel=desvels)
 
 
-def _protocol_trials(ckpt, n_trials, batch, seed, mode="vision", desvel=4.0):
+def _protocol_trials(ckpt, n_trials, batch, seed, mode="vision", desvel=4.0,
+                     dynamics="first_order"):
     from evfly_tpu.sim import generate_forest
     from evfly_tpu.sim.batched import run_trials_batched
 
@@ -265,6 +266,7 @@ def _protocol_trials(ckpt, n_trials, batch, seed, mode="vision", desvel=4.0):
             fields, mode=mode, desired_vels=desvels, policy=pipe,
             policy_every=6, max_steps=7000, seed=seed + n_done,
             obstacle_pad=48, log_images=(mode == "dagger"),
+            dynamics=dynamics,
         )
         print(f"[TRAIN_POLICY] {mode} batch of {G} in {time.time()-t0:.0f}s", flush=True)
         all_results.extend(results)
@@ -273,7 +275,10 @@ def _protocol_trials(ckpt, n_trials, batch, seed, mode="vision", desvel=4.0):
 
 
 def cmd_eval(args):
-    results = _protocol_trials(args.ckpt, args.trials, args.batch, seed=args.seed)
+    results = _protocol_trials(
+        args.ckpt, args.trials, args.batch, seed=args.seed,
+        desvel=args.desvel, dynamics=args.dynamics,
+    )
     summaries = [r["summary"] for r in results]
     n_success = sum(1 for s in summaries if s.get("Success"))
     n_finish = sum(1 for s in summaries if "time_to_finish" in s)
@@ -285,6 +290,8 @@ def cmd_eval(args):
     vy = [np.abs(r["log"][:, 14]) for r in results if len(r["log"])]
     report = {
         "ckpt": args.ckpt,
+        "desvel": args.desvel,
+        "dynamics": args.dynamics,
         "mean_abs_vy_cmd": float(np.mean([v.mean() for v in vy])) if vy else None,
         "p95_abs_vy_cmd": float(np.mean([np.percentile(v, 95) for v in vy])) if vy else None,
         "trials": len(summaries),
@@ -356,6 +363,9 @@ def main():
     p.add_argument("--batch", type=int, default=20)
     p.add_argument("--seed", type=int, default=90000)
     p.add_argument("--out-json", type=str, default=None)
+    p.add_argument("--desvel", type=float, default=4.0)
+    p.add_argument("--dynamics", type=str, default="first_order",
+                   choices=["first_order", "rigid"])
     p = sub.add_parser("dagger")
     p.add_argument("--ckpt", type=str, required=True)
     p.add_argument("--trials", type=int, default=40)
