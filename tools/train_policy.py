@@ -316,7 +316,8 @@ def cmd_dagger(args):
     from evfly_tpu.sim import rollout_to_trajectory
 
     results = _protocol_trials(
-        args.ckpt, args.trials, args.batch, seed=args.seed, mode="dagger"
+        args.ckpt, args.trials, args.batch, seed=args.seed, mode="dagger",
+        dynamics=args.dynamics,
     )
     trajs = []
     for i, res in enumerate(results):
@@ -372,6 +373,8 @@ def main():
     p.add_argument("--batch", type=int, default=20)
     p.add_argument("--seed", type=int, default=50000)
     p.add_argument("--name", type=str, default="dagger_r1")
+    p.add_argument("--dynamics", type=str, default="first_order",
+                   choices=["first_order", "rigid"])
 
     args = ap.parse_args()
     fn = {
