@@ -41,7 +41,9 @@ def frames_to_gif(frames: np.ndarray, out_path: str, fps: float = 15.0,
             os.makedirs(save_ims, exist_ok=True)
             imageio.imwrite(os.path.join(save_ims, f"{i:06d}.png"), rgb)
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
-    imageio.mimsave(out_path, rendered, fps=fps, loop=0)
+    # imageio>=2.28 deprecated `fps` for GIFs in favor of per-frame duration
+    # (ms); fps= raises on future versions
+    imageio.mimsave(out_path, rendered, duration=1000.0 / fps, loop=0)
     return out_path
 
 
