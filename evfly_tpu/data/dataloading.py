@@ -257,6 +257,11 @@ def write_h5_dataset(
             g.create_dataset("desvel", data=np.asarray(traj["desvel"], np.float32))
             if "evs" in traj and traj["evs"] is not None:
                 g.create_dataset("evs", data=np.asarray(traj["evs"], np.float32))
+            if "flows" in traj and traj["flows"] is not None:
+                # optional per-frame optical flow (T, H, W, 2) px/s — consumed
+                # by the flow-upsampled event generator (ops/upsample.py);
+                # f16: flow magnitudes are O(100) px/s, storage halves
+                g.create_dataset("flows", data=np.asarray(traj["flows"], np.float16))
             g.create_dataset("dirs", data=traj["name"])
             g.create_dataset("dirs_ids", data=traj.get("dirs_ids", 0))
 

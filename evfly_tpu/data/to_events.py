@@ -9,12 +9,16 @@ jitted scans over the image sequences already stored in the h5 dataset:
 * ``esim``: the ESIM contrast model with carried per-pixel reference levels
   (ops/esim.py) — the Vid2E replacement (linear-in-log interpolation instead
   of learned frame interpolation; documented divergence),
+* ``esim_flow``: ESIM on a flow-upsampled frame sequence (ops/upsample.py —
+  the full Vid2E analog, with the renderer's exact optical flow standing in
+  for SuperSloMo's estimate); requires a per-trajectory ``flows`` dataset in
+  the h5 (datagen --record-flow),
 * ``difflog``: the per-frame-pair quantized difflog (ops/voxelizer.py),
   matching to_events.py:419-439 exactly.
 
 Usage:
   python -m evfly_tpu.data.to_events --dataset path/to/dataset \
-      [--scheme esim|difflog] [--thresh 0.2] [--output_suffix name]
+      [--scheme esim|esim_flow|difflog] [--thresh 0.2] [--output_suffix name]
 
 Writes the per-trajectory event frames back into the h5 under ``evs`` (the
 training input schema slot) or as a sibling object-array .npy matching the
@@ -40,7 +44,7 @@ def generate_events_for_dataset(
     import h5py
     import jax.numpy as jnp
 
-    from ..ops.esim import esim_event_frames
+    from ..ops.esim import esim_event_frames, esim_event_frames_upsampled
     from ..ops.voxelizer import difflog_events
 
     all_frames = []
@@ -49,6 +53,16 @@ def generate_events_for_dataset(
             ims = np.asarray(f[name]["ims"][()], np.float32)
             if scheme == "esim":
                 ev = np.asarray(esim_event_frames(jnp.asarray(ims), thresh, thresh))
+            elif scheme == "esim_flow":
+                if "flows" not in f[name]:
+                    raise ValueError(
+                        f"scheme=esim_flow needs a 'flows' dataset in trajectory "
+                        f"{name!r} — regenerate with `python tools/datagen.py "
+                        f"--record-flow` (or use scheme=esim)"
+                    )
+                flows = np.asarray(f[name]["flows"][()], np.float32)
+                ts = np.asarray(f[name]["data"][()], np.float32)[:, 1]
+                ev = esim_event_frames_upsampled(ims, flows, ts, thresh, thresh)
             elif scheme == "difflog":
                 ev = np.stack(
                     [
@@ -80,7 +94,9 @@ def generate_events_for_dataset(
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", type=str, required=True, help="dataset path (with or without .h5)")
-    ap.add_argument("--scheme", type=str, default="esim", choices=["esim", "difflog"])
+    ap.add_argument(
+        "--scheme", type=str, default="esim", choices=["esim", "esim_flow", "difflog"]
+    )
     ap.add_argument("--thresh", type=float, default=0.2)
     ap.add_argument("--no_h5", action="store_true", help="do not write evs back into the h5")
     args = ap.parse_args()

@@ -41,10 +41,45 @@ def generate(
     obstacle_pad: int = 48,
     min_frames: int = 30,
     trees: bool = True,
+    record_flow: bool = False,
 ):
     from evfly_tpu.data.dataloading import write_h5_dataset
     from evfly_tpu.sim import generate_forest, rollout_to_trajectory
     from evfly_tpu.sim.batched import run_trials_batched
+
+    if record_flow:
+        import jax.numpy as jnp
+
+        from evfly_tpu.sim.render import render_rgbd_flow
+
+        def traj_flows(traj, field):
+            """Per-frame exact optical flow for a kept trajectory — rendered
+            post-hoc from the logged camera states (data.csv layout: pos at
+            cols 7-9, vel at 10-12) and the trial's obstacle field.  The
+            analytic camera is axis-aligned and the velocity-tracking quad
+            carries no attitude, so omega=0."""
+            H, W = traj["ims"].shape[1:]
+            K = obstacle_pad
+            centers = np.full((K, 3), 1e6, np.float32)
+            radii = np.zeros(K, np.float32)
+            centers[: len(field)] = field.positions
+            radii[: len(field)] = field.radii
+            meta = np.asarray(traj["data"], np.float32)
+            flow_fn = jax.jit(
+                jax.vmap(
+                    lambda p, v: render_rgbd_flow(
+                        p, v, jnp.zeros(3), jnp.asarray(centers), jnp.asarray(radii),
+                        H=H, W=W, is_trees=trees,
+                    )[2]
+                )
+            )
+            out = []
+            for s in range(0, len(meta), 64):  # chunk to bound device memory
+                out.append(np.asarray(flow_fn(
+                    jnp.asarray(meta[s: s + 64, 7:10]),
+                    jnp.asarray(meta[s: s + 64, 10:13]),
+                )))
+            return np.concatenate(out).astype(np.float16)
 
     rng = np.random.default_rng(seed)
     trajs = []
@@ -72,9 +107,10 @@ def generate(
             ok = s.get("Success", False)
             n_ok += int(bool(ok))
             if len(res["depths"]) > min_frames:
-                trajs.append(
-                    rollout_to_trajectory(res, f"rollout_{mode}_{n_done + i:04d}")
-                )
+                traj = rollout_to_trajectory(res, f"rollout_{mode}_{n_done + i:04d}")
+                if record_flow:
+                    traj["flows"] = traj_flows(traj, fields[i])
+                trajs.append(traj)
         print(
             f"[DATAGEN] batch of {G} in {dt:.1f}s ({dt/G:.1f}s/trial): "
             f"{n_ok}/{G} success, kept {len(trajs)} total",
@@ -102,12 +138,18 @@ def main():
     ap.add_argument("--mode", type=str, default="state", choices=["state", "planner"])
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--policy-every", type=int, default=6)
+    ap.add_argument(
+        "--record-flow", action="store_true",
+        help="store per-frame exact optical flow (f16) in the h5 for "
+        "flow-upsampled event generation (to_events --scheme esim_flow); "
+        "roughly doubles the dataset size",
+    )
     args = ap.parse_args()
 
     out_h5 = opj(args.out, "data/datasets", f"{args.name}.h5")
     generate(
         out_h5, args.trials, args.batch, mode=args.mode, seed=args.seed,
-        policy_every=args.policy_every,
+        policy_every=args.policy_every, record_flow=args.record_flow,
     )
 
 
