@@ -219,8 +219,13 @@ def main():
     )
     if args.env == "vision":
         result["greedy_final_x_mean"] = float(pos[:, 0].mean())
-        # alive at scan end == survived to the horizon without leaving the
-        # world box (timeout done fires at max_t; horizon stops just before)
+        # a policy that flies the course exits the world box through its +x
+        # face (done -> alive=False with final x at the face) — that is
+        # SUCCESS, not a failure: count it separately from side/ground exits
+        result["greedy_crossed_course_frac"] = float((pos[:, 0] >= 60.0).mean())
+        # alive at scan end == still inside the box at the horizon (the
+        # timeout terminal is excluded by stopping 2 steps early); with a
+        # course-crossing policy this is ~0 by design
         result["greedy_inbounds_frac"] = float(alive.mean())
     else:
         goal = np.asarray(jax.device_get(qparams.goal))
