@@ -69,6 +69,8 @@ def warp_backward(img: jnp.ndarray, disp: jnp.ndarray) -> jnp.ndarray:
     renderer's flow channel order).
     """
     H, W = img.shape
+    disp = disp.astype(jnp.float32)  # f16 flows (h5 storage) would quantize
+    # sample coordinates to ~0.25 px at x=346
     yy, xx = jnp.meshgrid(
         jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32), indexing="ij"
     )
@@ -132,6 +134,7 @@ def upsample_sequence(
     overrides the adaptive rule for every pair.
     """
     frames = np.asarray(frames, np.float32)
+    flows = np.asarray(flows, np.float32)  # h5 stores flows as f16
     t_frames = np.asarray(t_frames, np.float64)
     out_frames: List[np.ndarray] = [frames[0]]
     out_ts: List[float] = [float(t_frames[0])]
