@@ -48,9 +48,24 @@ def generate(
     from evfly_tpu.sim.batched import run_trials_batched
 
     if record_flow:
+        import functools
+
         import jax.numpy as jnp
 
         from evfly_tpu.sim.render import render_rgbd_flow
+
+        @functools.lru_cache(maxsize=4)
+        def _flow_fn(H, W):
+            # obstacle arrays are ARGUMENTS (fixed obstacle_pad shape), so one
+            # compile serves every trajectory's field instead of one per traj
+            return jax.jit(
+                jax.vmap(
+                    lambda p, v, c, r: render_rgbd_flow(
+                        p, v, jnp.zeros(3), c, r, H=H, W=W, is_trees=trees,
+                    )[2],
+                    in_axes=(0, 0, None, None),
+                )
+            )
 
         def traj_flows(traj, field):
             """Per-frame exact optical flow for a kept trajectory — rendered
@@ -65,21 +80,20 @@ def generate(
             centers[: len(field)] = field.positions
             radii[: len(field)] = field.radii
             meta = np.asarray(traj["data"], np.float32)
-            flow_fn = jax.jit(
-                jax.vmap(
-                    lambda p, v: render_rgbd_flow(
-                        p, v, jnp.zeros(3), jnp.asarray(centers), jnp.asarray(radii),
-                        H=H, W=W, is_trees=trees,
-                    )[2]
-                )
-            )
+            T = len(meta)
+            pad = (-T) % 64  # fixed 64-frame chunks: one compile, no
+            # ragged-tail shape (trimmed after)
+            if pad:
+                meta = np.concatenate([meta, np.repeat(meta[-1:], pad, axis=0)])
+            fn = _flow_fn(H, W)
             out = []
             for s in range(0, len(meta), 64):  # chunk to bound device memory
-                out.append(np.asarray(flow_fn(
+                out.append(np.asarray(fn(
                     jnp.asarray(meta[s: s + 64, 7:10]),
                     jnp.asarray(meta[s: s + 64, 10:13]),
+                    jnp.asarray(centers), jnp.asarray(radii),
                 )))
-            return np.concatenate(out).astype(np.float16)
+            return np.concatenate(out)[:T].astype(np.float16)
 
     rng = np.random.default_rng(seed)
     trajs = []
