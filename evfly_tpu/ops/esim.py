@@ -54,6 +54,27 @@ def esim_event_frames(
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("pos_thresh", "neg_thresh"))
+def _esim_block(ref_level, block, pos_thresh: float, neg_thresh: float, eps: float = 1e-10):
+    """ESIM scan over one block of frames from a carried reference level.
+
+    Returns (signed window sum over the block, final reference level) — the
+    carry that lets a long sequence be processed block-by-block without ever
+    materializing it whole.
+    """
+    logs = jnp.log(block.astype(jnp.float32) + eps)
+
+    def step(ref, log_t):
+        delta = log_t - ref
+        pos_events = jnp.floor(jnp.maximum(delta, 0.0) / pos_thresh)
+        neg_events = jnp.floor(jnp.maximum(-delta, 0.0) / neg_thresh)
+        frame = pos_thresh * pos_events - neg_thresh * neg_events
+        return ref + frame, frame
+
+    ref_end, out = lax.scan(step, ref_level, logs)
+    return out.sum(axis=0), ref_end
+
+
 def esim_event_frames_upsampled(
     frames,            # (T, H, W) intensity in [0, 1]
     flows,             # (T, H, W, 2) optical flow [px/s]
@@ -63,35 +84,51 @@ def esim_event_frames_upsampled(
     max_disp: float = 1.0,
     max_factor: int = 16,
     fixed_factor=None,
+    eps: float = 1e-10,
 ):
     """(T-1, H, W) event frames from flow-upsampled ESIM — the full Vid2E
     analog (SuperSloMo upsample → esim_torch → per-inter-frame windows,
     utils/to_events.py:146-244,400-412).
 
-    The sequence is temporally upsampled by flow warping (ops/upsample.py,
+    Each frame pair is temporally upsampled by flow warping (ops/upsample.py,
     adaptive per-pair factor from the Vid2E displacement rule), the ESIM
-    contrast scan runs on the fine sequence, and the fine windows are summed
-    back into the original inter-frame windows (the training schema).  Each
-    output window's signed sum telescopes to the plain ESIM value; what the
-    upsampling improves is the *sub-window* crossing placement — which
-    matters exactly when this is used with finer output windows or discrete
-    event lists.  Host-side driver (ragged adaptive factors); the fixed-K
-    jitted path is ops/upsample.upsample_fixed.
+    contrast scan runs over the pair's fine block with the per-pixel
+    reference level CARRIED across pairs, and the block's signed sum is the
+    pair's output window (the training schema).  Streaming per pair keeps
+    peak memory at O(max_factor·H·W) — the full upsampled sequence (up to
+    16× the input) is never materialized — and the jit cache sees at most
+    ``max_factor`` distinct block shapes.  Each output window's signed sum
+    telescopes to the plain ESIM value; what the upsampling improves is the
+    *sub-window* crossing placement — which matters exactly when this is
+    used with finer output windows or discrete event lists.
     """
     import numpy as np
 
-    from .upsample import upsample_sequence
+    from .upsample import adaptive_factor, interp_pair
 
-    up, _, factors = upsample_sequence(
-        frames, flows, t_frames, max_disp=max_disp, max_factor=max_factor,
-        fixed_factor=fixed_factor, return_factors=True,
-    )
-    fine = np.asarray(esim_event_frames(jnp.asarray(up), pos_thresh, neg_thresh))
-    out = np.empty((len(factors),) + fine.shape[1:], fine.dtype)
-    b = 0
-    for i, k in enumerate(factors):
-        out[i] = fine[b: b + k].sum(axis=0)
-        b += k
+    frames = np.asarray(frames, np.float32)
+    flows = np.asarray(flows, np.float32)
+    t_frames = np.asarray(t_frames, np.float64)
+    T = len(frames)
+    out = np.empty((T - 1,) + frames.shape[1:], np.float32)
+    ref = jnp.log(jnp.asarray(frames[0]) + eps)
+    for i in range(1, T):
+        dt = float(t_frames[i] - t_frames[i - 1])
+        k = (
+            int(fixed_factor)
+            if fixed_factor is not None
+            else adaptive_factor(flows[i - 1], flows[i], dt, max_disp, max_factor)
+        )
+        if k > 1:
+            mids = interp_pair(
+                jnp.asarray(frames[i - 1]), jnp.asarray(frames[i]),
+                jnp.asarray(flows[i - 1]), jnp.asarray(flows[i]), dt, k,
+            )
+            block = jnp.concatenate([mids, jnp.asarray(frames[i])[None]], axis=0)
+        else:
+            block = jnp.asarray(frames[i])[None]
+        win, ref = _esim_block(ref, block, pos_thresh, neg_thresh, eps)
+        out[i - 1] = np.asarray(win)
     return out
 
 

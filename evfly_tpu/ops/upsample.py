@@ -111,8 +111,16 @@ def adaptive_factor(
     for f in (f0, f1):
         if f is not None:
             m = float(np.max(np.hypot(np.asarray(f[..., 0]), np.asarray(f[..., 1]))))
+            if not np.isfinite(m):
+                # f16 h5 storage yields inf for grazing-obstacle flows
+                # (f*|v|/X past 65504 px/s); NaN can't be ranked either —
+                # saturate at the cap instead of raising/ignoring (note
+                # python max() would silently DROP a nan here)
+                return int(max_factor)
             mag = max(mag, m)
-    k = int(np.ceil(mag * float(dt) / float(max_disp))) if mag > 0 else 1
+    # clip BEFORE the int(): int(ceil(inf)) raises OverflowError
+    disp = min(mag * float(dt) / float(max_disp), float(max_factor))
+    k = int(np.ceil(disp)) if disp > 0 else 1
     return int(np.clip(k, 1, max_factor))
 
 
@@ -166,6 +174,27 @@ def upsample_sequence(
     if return_factors:
         return np.stack(out_frames), np.asarray(out_ts), np.asarray(factors, np.int64)
     return np.stack(out_frames), np.asarray(out_ts)
+
+
+def linear_log_upsample(frames: np.ndarray, factor: int, eps: float = 1e-10) -> np.ndarray:
+    """No-warp linear-in-log cross-fade to a fixed fine grid —
+    ((T-1)*factor + 1, H, W).
+
+    This is the interpolation the plain ESIM scan implicitly assumes happens
+    between frames (ops/esim.py linear-in-log), materialized so it can serve
+    as the baseline against flow-warp upsampling in tests and
+    tools/upsample_report.py (one shared implementation — the published
+    artifact and the test must measure the same baseline).
+    """
+    frames = np.asarray(frames, np.float32)
+    logs = np.log(frames.astype(np.float64) + eps)
+    out = [frames[0]]
+    for j in range(len(frames) - 1):
+        for k in range(1, factor):
+            a = k / factor
+            out.append(np.exp((1 - a) * logs[j] + a * logs[j + 1]) - eps)
+        out.append(frames[j + 1])
+    return np.stack(out).astype(np.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("factor",))

@@ -73,12 +73,11 @@ def generate(
             cols 7-9, vel at 10-12) and the trial's obstacle field.  The
             analytic camera is axis-aligned and the velocity-tracking quad
             carries no attitude, so omega=0."""
+            from evfly_tpu.sim.batched import pad_fields
+
             H, W = traj["ims"].shape[1:]
-            K = obstacle_pad
-            centers = np.full((K, 3), 1e6, np.float32)
-            radii = np.zeros(K, np.float32)
-            centers[: len(field)] = field.positions
-            radii[: len(field)] = field.radii
+            centers, radii = pad_fields([field], K_min=obstacle_pad)
+            centers, radii = centers[0], radii[0]
             meta = np.asarray(traj["data"], np.float32)
             T = len(meta)
             pad = (-T) % 64  # fixed 64-frame chunks: one compile, no
@@ -91,7 +90,7 @@ def generate(
                 out.append(np.asarray(fn(
                     jnp.asarray(meta[s: s + 64, 7:10]),
                     jnp.asarray(meta[s: s + 64, 10:13]),
-                    jnp.asarray(centers), jnp.asarray(radii),
+                    centers, radii,
                 )))
             return np.concatenate(out)[:T].astype(np.float16)
 

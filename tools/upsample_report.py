@@ -52,25 +52,27 @@ def main():
     args = ap.parse_args()
 
     from evfly_tpu.ops.esim import esim_event_frames
-    from evfly_tpu.ops.upsample import adaptive_factor, upsample_sequence
+    from evfly_tpu.ops.upsample import (
+        adaptive_factor,
+        linear_log_upsample,
+        upsample_sequence,
+    )
     from evfly_tpu.sim import generate_forest
+    from evfly_tpu.sim.batched import pad_fields
     from evfly_tpu.sim.render import render_rgbd_flow
 
     rng = np.random.default_rng(args.seed)
     field = generate_forest(rng, num_obstacles=30, trees=True)
-    Kpad = 48
-    centers = np.full((Kpad, 3), 1e6, np.float32)
-    radii = np.zeros(Kpad, np.float32)
-    centers[: len(field)] = field.positions
-    radii[: len(field)] = field.radii
+    centers, radii = pad_fields([field], K_min=48)
+    centers, radii = centers[0], radii[0]
     H, W = args.hw
     vel = np.array([args.velx, args.vely, 0.0], np.float32)
     lw = np.array([0.299, 0.587, 0.114], np.float32)
 
     render = jax.jit(
         lambda p: render_rgbd_flow(
-            p, jnp.asarray(vel), jnp.zeros(3), jnp.asarray(centers),
-            jnp.asarray(radii), H=H, W=W, is_trees=True,
+            p, jnp.asarray(vel), jnp.zeros(3), centers, radii,
+            H=H, W=W, is_trees=True,
         )
     )
 
@@ -106,20 +108,16 @@ def main():
     th = args.thresh
     truth_fine = np.asarray(esim_event_frames(jnp.asarray(frames_hi), th, th))
     up_fine = np.asarray(esim_event_frames(jnp.asarray(up), th, th))
-    logs = np.log(frames.astype(np.float64) + 1e-10)
-    lin = [frames[0]]
-    for j in range(len(frames) - 1):
-        for k in range(1, K):
-            a = k / K
-            lin.append(np.exp((1 - a) * logs[j] + a * logs[j + 1]) - 1e-10)
-        lin.append(frames[j + 1])
     lin_fine = np.asarray(
-        esim_event_frames(jnp.asarray(np.stack(lin).astype(np.float32)), th, th)
+        esim_event_frames(jnp.asarray(linear_log_upsample(frames, K)), th, th)
     )
 
     def cos(a, b):
         na, nb = np.linalg.norm(a), np.linalg.norm(b)
-        return float((a * b).sum() / (na * nb)) if na and nb else 1.0
+        if na == 0 or nb == 0:
+            # both empty -> perfect agreement; one empty -> total miss
+            return 1.0 if na == nb else 0.0
+        return float((a * b).sum() / (na * nb))
 
     cos_up = np.mean([cos(up_fine[i].ravel(), truth_fine[i].ravel()) for i in range(len(truth_fine))])
     cos_lin = np.mean([cos(lin_fine[i].ravel(), truth_fine[i].ravel()) for i in range(len(truth_fine))])
