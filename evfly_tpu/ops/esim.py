@@ -135,10 +135,16 @@ def esim_event_frames_upsampled(
 def esim_events_list(
     frames, t_frames, pos_thresh: float = 0.2, neg_thresh: float = 0.2, eps: float = 1e-10
 ):
-    """Host-side discrete event generation (testing / voxelizer input).
+    """Host-side discrete event generation (voxelizer / streaming input).
 
-    Returns (t, x, y, p) numpy arrays; event timestamps linearly interpolated
-    within each inter-frame interval in crossing order.
+    Returns (t, x, y, p) numpy arrays sorted by timestamp; event timestamps
+    linearly interpolated within each inter-frame interval in crossing order
+    — the output shape of the reference's esim_torch
+    (/root/reference/utils/to_events.py:198-244), minus the refractory
+    period (documented divergence; events here come from frame-pair
+    crossings, which cannot re-fire within a window).  Fully vectorized
+    (np.repeat over per-pixel counts): dataset-scale trajectories take
+    milliseconds per window instead of a Python loop per event.
     """
     import numpy as np
 
@@ -146,32 +152,34 @@ def esim_events_list(
     t_frames = np.asarray(t_frames, np.float64)
     logs = np.log(frames + eps)
     ref = logs[0].copy()
-    ts, xs, ys, ps = [], [], [], []
-    H, W = frames.shape[1:]
+    ts_l, xs_l, ys_l, ps_l = [], [], [], []
     for i in range(1, len(frames)):
         delta = logs[i] - ref
-        n_pos = np.floor(np.maximum(delta, 0) / pos_thresh).astype(int)
-        n_neg = np.floor(np.maximum(-delta, 0) / neg_thresh).astype(int)
-        total = n_pos + n_neg
-        if total.sum() == 0:
-            continue
-        yy, xx = np.nonzero(total)
-        for y, x in zip(yy, xx):
-            n = int(n_pos[y, x]) or -int(n_neg[y, x])
-            cnt = abs(n)
-            sign = 1 if n > 0 else -1
-            # timestamps spread uniformly in the interval per crossing
-            for k in range(cnt):
-                frac = (k + 1) / (cnt + 1)
-                ts.append(t_frames[i - 1] + frac * (t_frames[i] - t_frames[i - 1]))
-                xs.append(x)
-                ys.append(y)
-                ps.append(sign)
+        n_pos = np.floor(np.maximum(delta, 0) / pos_thresh).astype(np.int64)
+        n_neg = np.floor(np.maximum(-delta, 0) / neg_thresh).astype(np.int64)
         ref += pos_thresh * n_pos - neg_thresh * n_neg
-    order = np.argsort(np.array(ts)) if ts else np.array([], int)
+        signed = n_pos - n_neg  # at most one of the two is nonzero per pixel
+        cnt = np.abs(signed)
+        if cnt.sum() == 0:
+            continue
+        yy, xx = np.nonzero(cnt)
+        c = cnt[yy, xx]
+        pix = np.repeat(np.arange(len(c)), c)          # active-pixel id per event
+        # 0..c-1 within each pixel's run of events
+        k = np.arange(len(pix)) - np.repeat(np.cumsum(c) - c, c)
+        frac = (k + 1) / (c[pix] + 1)                  # spread uniformly in the interval
+        ts_l.append(t_frames[i - 1] + frac * (t_frames[i] - t_frames[i - 1]))
+        xs_l.append(xx[pix].astype(np.float64))
+        ys_l.append(yy[pix].astype(np.float64))
+        ps_l.append(np.sign(signed[yy, xx])[pix].astype(np.int32))
+    if not ts_l:
+        z = np.array([], np.float64)
+        return z, z.copy(), z.copy(), np.array([], np.int32)
+    ts = np.concatenate(ts_l)
+    order = np.argsort(ts, kind="stable")
     return (
-        np.array(ts, np.float64)[order],
-        np.array(xs, np.float64)[order],
-        np.array(ys, np.float64)[order],
-        np.array(ps, np.int32)[order],
+        ts[order],
+        np.concatenate(xs_l)[order],
+        np.concatenate(ys_l)[order],
+        np.concatenate(ps_l)[order],
     )
